@@ -27,10 +27,12 @@ from skosconverter_spark.sources.jsonld import parse_jsonld
 from skosconverter_spark.sources.markdown_parse import parse_markdown
 from skosconverter_spark.sources.turtle import parse_turtle
 
-TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_lang", "src_url", "status", "error"]
+TRIPLE_COLS = [
+    "subj", "pred", "obj", "obj_is_literal", "obj_lang", "src_url", "seq", "status", "error",
+]
 _OUT_SCHEMA = (
     "subj string, pred string, obj string, obj_is_literal boolean, "
-    "obj_lang string, src_url string, status string, error string"
+    "obj_lang string, src_url string, seq long, status string, error string"
 )
 
 
@@ -67,16 +69,23 @@ def extract_triples(docs: DataFrame, config: EngineConfig) -> DataFrame:
                     out["obj_is_literal"].append(None)
                     out["obj_lang"].append(None)
                     out["src_url"].append(url)
+                    out["seq"].append(None)
                     out["status"].append("error")
                     out["error"].append(f"{type(exc).__name__}: {exc}")
                     continue
-                for t in parsed:
+                # seq = per-document insertion ordinal. The reference's
+                # rdflib store is insertion-ordered, and every "first value
+                # wins" idiom (labels[0], first-parent-wins, first-scheme-
+                # wins; skos_converter.py:381, :709-733) follows that order —
+                # min(seq) windows downstream reproduce it deterministically.
+                for seq, t in enumerate(parsed):
                     out["subj"].append(t.subj)
                     out["pred"].append(t.pred)
                     out["obj"].append(t.obj)
                     out["obj_is_literal"].append(t.obj_is_literal)
                     out["obj_lang"].append(t.obj_lang)
                     out["src_url"].append(url)
+                    out["seq"].append(seq)
                     out["status"].append("ok")
                     out["error"].append(None)
             yield pd.DataFrame(out)
@@ -89,11 +98,17 @@ def extract_triples(docs: DataFrame, config: EngineConfig) -> DataFrame:
 def ok_triples(extracted: DataFrame) -> DataFrame:
     """Graph-ready triples: drop error rows, dedup set-semantics
     (rdflib Graph.add dedups; SURVEY §2.7 U5). Dedup is per (s,p,o,lang)
-    across documents — a shuffle on the full key, map-side combined."""
+    across documents — a partial-aggregated groupBy (map-side combine),
+    keeping the earliest seq so insertion-order picks stay exact."""
     return (
         extracted.filter(F.col("status") == "ok")
-        .select("subj", "pred", "obj", "obj_is_literal", "obj_lang", "src_url")
-        .dropDuplicates(["subj", "pred", "obj", "obj_lang"])
+        .groupBy("subj", "pred", "obj", "obj_lang")
+        .agg(
+            F.first("obj_is_literal").alias("obj_is_literal"),
+            F.min("src_url").alias("src_url"),
+            F.min("seq").alias("seq"),
+        )
+        .select("subj", "pred", "obj", "obj_is_literal", "obj_lang", "src_url", "seq")
     )
 
 
