@@ -1,0 +1,161 @@
+"""Entity linking: TF-IDF + Jaccard candidate scoring (north_star).
+
+Everything is built-in DataFrame algebra — explode/groupBy/join — so
+Catalyst plans it with partial aggregation and broadcast joins; no UDFs
+at all in this stage.
+
+Score model (deterministic):
+- surface_jaccard: |tokens(mention) ∩ tokens(label)| / |union| — 1.0 for
+  exact dictionary hits, discounts partial alt-label matches.
+- context_tfidf: cosine similarity between the page's token TF-IDF
+  vector and the concept's profile (its labels + definition tokens),
+  with document frequencies computed over the page corpus.
+- score = 0.5 * surface_jaccard + 0.5 * context_tfidf; candidates below
+  ``threshold`` are dropped (the theta part of J11 applied after the
+  equi candidate-gen join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from skosconverter_spark.config import (
+    SKOS_ALT_LABEL,
+    SKOS_DEFINITION,
+    SKOS_PREF_LABEL,
+)
+
+_TOKEN_SPLIT = r"[^\w']+"
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def page_tokens(pages_text: DataFrame) -> DataFrame:
+    """(url, token, tf): term frequencies per page."""
+    return (
+        pages_text.select("url", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("url", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def concept_profile_tokens(triples: DataFrame) -> DataFrame:
+    """(uri, token): distinct tokens of a concept's labels + definition."""
+    src = triples.filter(
+        F.col("pred").isin(SKOS_PREF_LABEL, SKOS_ALT_LABEL, SKOS_DEFINITION)
+    ).select(F.col("subj").alias("uri"), F.col("obj").alias("text"))
+    return (
+        src.select("uri", F.explode(_tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+
+
+def tfidf_context_scores(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
+    """(url, uri, context_tfidf): cosine(page TF-IDF, concept profile).
+
+    The concept profile is an unweighted token set; cosine reduces to
+    sum(tfidf of shared tokens) / (||page|| * sqrt(|profile|)).
+    """
+    pt = page_tokens(pages_text)
+    n_pages = pages_text.select("url").distinct().count()
+    df_tok = pt.groupBy("token").agg(F.countDistinct("url").alias("df"))
+    tfidf = (
+        pt.join(df_tok, "token")
+        .withColumn(
+            "w", F.col("tf") * F.log(F.lit(float(n_pages + 1)) / (F.col("df") + 1.0))
+        )
+        .select("url", "token", "w")
+    )
+    page_norm = tfidf.groupBy("url").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("page_norm")
+    )
+    prof = concept_profile_tokens(triples)
+    prof_norm = prof.groupBy("uri").agg(
+        F.sqrt(F.count("*").cast("double")).alias("prof_norm")
+    )
+    dots = (
+        tfidf.join(F.broadcast(prof), "token")
+        .groupBy("url", "uri")
+        .agg(F.sum("w").alias("dot"))
+    )
+    return (
+        dots.join(page_norm, "url")
+        .join(F.broadcast(prof_norm), "uri")
+        .select(
+            "url",
+            "uri",
+            (
+                F.col("dot")
+                / F.when(
+                    F.col("page_norm") * F.col("prof_norm") > 0,
+                    F.col("page_norm") * F.col("prof_norm"),
+                ).otherwise(F.lit(1.0))
+            ).alias("context_tfidf"),
+        )
+    )
+
+
+def score_candidates(
+    candidates: DataFrame,
+    pages_text: DataFrame,
+    triples: DataFrame,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """candidates (url, surface, norm_surface, begin, end, concept_uri,
+    kind) → scored links above threshold.
+
+    surface_jaccard uses the candidate's own matched label — exact
+    dictionary matches give 1.0; the TF-IDF term separates homonym
+    candidates by page context.
+    """
+    from skosconverter_spark.kg.mentions import label_table
+
+    lt = label_table(triples).select(
+        F.col("uri").alias("concept_uri"),
+        F.col("norm_surface").alias("cand_norm"),
+    )
+    m_tok = F.split(F.col("norm_surface"), " ")
+    c_tok = F.split(F.col("cand_norm"), " ")
+    jac = (
+        F.size(F.array_intersect(m_tok, c_tok)).cast("double")
+        / F.size(F.array_union(m_tok, c_tok)).cast("double")
+    )
+    with_jac = (
+        candidates.join(F.broadcast(lt), "concept_uri")
+        .withColumn("surface_jaccard", jac)
+        .groupBy("url", "surface", "norm_surface", "begin", "end", "concept_uri")
+        .agg(F.max("surface_jaccard").alias("surface_jaccard"))
+    )
+    ctx = tfidf_context_scores(pages_text, triples).withColumnRenamed(
+        "uri", "concept_uri"
+    )
+    scored = (
+        with_jac.join(ctx, ["url", "concept_uri"], "left")
+        .withColumn(
+            "score",
+            0.5 * F.col("surface_jaccard")
+            + 0.5 * F.coalesce(F.col("context_tfidf"), F.lit(0.0)),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    return scored.select(
+        "url", "surface", "norm_surface", "begin", "end", "concept_uri", "score"
+    )
+
+
+def link_best(scored: DataFrame) -> DataFrame:
+    """One concept per mention span: highest score, ties to the smaller
+    uri (deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url", "begin", "end").orderBy(
+        F.col("score").desc(), "concept_uri"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,220 @@
+"""Relational views over the ``triples`` table (SURVEY.md §1.2).
+
+Every helper here replaces a per-node ``graph.objects(...)`` lookup in
+the reference (skos_converter.py:623-657, :376-464) with one
+set-oriented DataFrame op: a filter+project, a broadcast join, or a
+min(seq) window. Nothing in this module calls Python per row.
+
+Determinism contract: ``seq`` is the per-document insertion ordinal
+(sources.parse_udf). The reference's rdflib store iterates in insertion
+order, so every ``labels[0]`` / "first value" pick maps to the row with
+the smallest seq.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from skosconverter_spark.config import (
+    EngineConfig,
+    OWL_SAME_AS,
+    RDF_TYPE,
+    RDFS_LABEL,
+    SKOS_ALT_LABEL,
+    SKOS_CONCEPT,
+    SKOS_CONCEPT_SCHEME,
+    SKOS_DEFINITION,
+    SKOS_NOTATION,
+    SKOS_PREF_LABEL,
+    SKOS_RELATED,
+    SKOS_SCOPE_NOTE,
+)
+
+
+def uri_local_part(col):
+    """str(uri).split('/')[-1].split('#')[-1] (skos_converter.py:393-394)."""
+    return F.element_at(F.split(F.element_at(F.split(col, "/"), -1), "#"), -1)
+
+
+def concepts(triples: DataFrame) -> DataFrame:
+    """subjects(rdf:type, skos:Concept) → (uri, type_seq) (F1)."""
+    return (
+        triples.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == SKOS_CONCEPT))
+        .groupBy(F.col("subj").alias("uri"))
+        .agg(F.min("seq").alias("type_seq"))
+    )
+
+
+def schemes(triples: DataFrame) -> DataFrame:
+    """subjects(rdf:type, skos:ConceptScheme) → (uri, type_seq) (F2).
+
+    type_seq is the store-insertion rank of the scheme's type triple —
+    the reference's scheme iteration order (skos_converter.py:690).
+    """
+    return (
+        triples.filter(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == SKOS_CONCEPT_SCHEME)
+        )
+        .groupBy(F.col("subj").alias("uri"))
+        .agg(F.min("seq").alias("type_seq"))
+    )
+
+
+def labels(triples: DataFrame) -> DataFrame:
+    """All label triples → (uri, kind, label, lang, seq) (F3).
+
+    kind_rank encodes the reference's property fallback order
+    prefLabel → altLabel → rdfs:label (skos_converter.py:426-428).
+    """
+    kind = (
+        F.when(F.col("pred") == SKOS_PREF_LABEL, F.lit("pref"))
+        .when(F.col("pred") == SKOS_ALT_LABEL, F.lit("alt"))
+        .otherwise(F.lit("rdfs"))
+    )
+    kind_rank = (
+        F.when(F.col("pred") == SKOS_PREF_LABEL, F.lit(0))
+        .when(F.col("pred") == SKOS_ALT_LABEL, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    # lang stays NULL for untagged literals: rdflib Literal.language is
+    # None, never '' — so the reference's '' fallback entry can never
+    # match a parsed label, and neither must ours (verified by the
+    # vocab_nolang golden: labels[0] wins over the untagged label).
+    return triples.filter(
+        F.col("pred").isin(SKOS_PREF_LABEL, SKOS_ALT_LABEL, RDFS_LABEL)
+    ).select(
+        F.col("subj").alias("uri"),
+        kind.alias("kind"),
+        kind_rank.alias("kind_rank"),
+        F.col("obj").alias("label"),
+        F.col("obj_lang").alias("lang"),
+        "seq",
+    )
+
+
+def _lang_rank(config: EngineConfig):
+    """CASE chain encoding LanguageHelper.get_best_label's language
+    preference (skos_converter.py:437-448): preferred language first,
+    then fallback list order, else everything ties at 99 and seq picks
+    labels[0]."""
+    expr = None
+    rank = 0
+    if config.preferred_language:
+        expr = F.when(F.col("lang") == config.preferred_language, F.lit(0))
+        rank = 1
+    for i, fb in enumerate(config.fallback_languages):
+        cond = F.col("lang") == fb
+        expr = F.when(cond, F.lit(rank + i)) if expr is None else expr.when(cond, F.lit(rank + i))
+    return (expr.otherwise(F.lit(99))) if expr is not None else F.lit(99)
+
+
+def best_label(triples: DataFrame, config: EngineConfig, uris: DataFrame | None = None) -> DataFrame:
+    """get_best_label for every node at once (W1) → (uri, label).
+
+    One window pick instead of a per-node lru_cached lookup
+    (skos_converter.py:376, :420-451). If ``uris`` is given (a DataFrame
+    with column ``uri``), URIs with no label rows fall back to the URI
+    local part (:433-434).
+    """
+    lab = labels(triples).withColumn("lang_rank", _lang_rank(config))
+    w = Window.partitionBy("uri").orderBy("kind_rank", "lang_rank", "seq")
+    picked = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("uri", "label")
+    )
+    if uris is None:
+        return picked
+    return uris.select("uri").join(picked, "uri", "left").select(
+        "uri", F.coalesce(F.col("label"), uri_local_part(F.col("uri"))).alias("label")
+    )
+
+
+def simple_label(triples: DataFrame, uris: DataFrame | None = None) -> DataFrame:
+    """_get_simple_label (skos_converter.py:376-394): pref[0] → alt[0] →
+    rdfs[0] → URI fragment. NO language ranking — store order only."""
+    lab = labels(triples)
+    w = Window.partitionBy("uri").orderBy("kind_rank", "seq")
+    picked = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("uri", "label")
+    )
+    if uris is None:
+        return picked
+    return uris.select("uri").join(picked, "uri", "left").select(
+        "uri", F.coalesce(F.col("label"), uri_local_part(F.col("uri"))).alias("label")
+    )
+
+
+def _first_by_seq(triples: DataFrame, pred: str, out_name: str) -> DataFrame:
+    w = Window.partitionBy("uri").orderBy("seq")
+    return (
+        triples.filter(F.col("pred") == pred)
+        .select(F.col("subj").alias("uri"), F.col("obj").alias(out_name), "seq")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("uri", out_name)
+    )
+
+
+def definitions(triples: DataFrame) -> DataFrame:
+    """get_definition (F4): first definition, scopeNote fallback, '' default
+    applied at join time via coalesce (skos_converter.py:628-637)."""
+    d = _first_by_seq(triples, SKOS_DEFINITION, "definition")
+    s = _first_by_seq(triples, SKOS_SCOPE_NOTE, "scope_note")
+    return (
+        d.join(s, "uri", "full")
+        .select(
+            "uri",
+            F.coalesce(F.col("definition"), F.col("scope_note")).alias("definition"),
+        )
+    )
+
+
+def notations(triples: DataFrame) -> DataFrame:
+    """get_notation (F5): notations[0] (skos_converter.py:654-657)."""
+    return _first_by_seq(triples, SKOS_NOTATION, "notation")
+
+
+def collected(triples: DataFrame, pred: str, out_name: str) -> DataFrame:
+    """Multi-valued objects in store order → (uri, array) — the
+    get_alt_labels / get_same_as / get_related list shape
+    (skos_converter.py:639-652). sort_array on (seq, value) structs then
+    project: insertion order preserved exactly."""
+    return (
+        triples.filter(F.col("pred") == pred)
+        .groupBy(F.col("subj").alias("uri"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", F.col("obj").alias("v")))),
+                lambda s: s["v"],
+            ).alias(out_name)
+        )
+    )
+
+
+def concept_meta(triples: DataFrame, config: EngineConfig, uris: DataFrame) -> DataFrame:
+    """The full per-concept metadata record (_get_concept_metadata,
+    skos_converter.py:934-944) for every uri in ``uris`` — five
+    broadcast-sized joins instead of five per-node lookups."""
+    base = uris.select("uri")
+    meta = (
+        base.join(best_label(triples, config, base), "uri", "left")
+        .join(definitions(triples), "uri", "left")
+        .join(collected(triples, SKOS_ALT_LABEL, "alt_labels"), "uri", "left")
+        .join(notations(triples), "uri", "left")
+        .join(collected(triples, OWL_SAME_AS, "same_as"), "uri", "left")
+        .join(collected(triples, SKOS_RELATED, "related"), "uri", "left")
+    )
+    empty = F.array().cast("array<string>")
+    return meta.select(
+        "uri",
+        F.coalesce(F.col("label"), uri_local_part(F.col("uri"))).alias("label"),
+        F.coalesce(F.col("definition"), F.lit("")).alias("definition"),
+        F.coalesce(F.col("alt_labels"), empty).alias("alt_labels"),
+        F.coalesce(F.col("notation"), F.lit("")).alias("notation"),
+        F.coalesce(F.col("same_as"), empty).alias("same_as"),
+        F.coalesce(F.col("related"), empty).alias("related"),
+    )
