@@ -1,10 +1,14 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a training-data extension) through the engine's own modules; the
+matching ``oracle_sql()`` entry re-derives the same result in ANSI SQL
+over the same parquet tables. Hash discipline for oracle parity:
+
+- only md5 (bit-identical across Spark/DuckDB) — never engine hashes
+- floating aggregation only through exact forms: integer rationals,
+  DECIMAL(_,2) sums cast to double at the end, or ordered left-fold
+  dot products (identical double streams in both engines)
 """
 
 from __future__ import annotations
@@ -12,27 +16,664 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skosconverter_spark.config import EngineConfig
+from skosconverter_spark.tpch_bridge import ORACLE_CHAIN_CTE, triples_from_tpch
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full forward path (views → hierarchy fixpoint → DFS
+    row table) over the vocabulary bridged from region/nation."""
+    from skosconverter_spark.operators.render import document_rows
+
+    triples = triples_from_tpch(spark, "/root/testdata/sf0.001")
+    return document_rows(triples, EngineConfig()).select(
+        "uri", "label", "level", "section", "parent_label", "scheme_label"
+    )
+
+
+# --------------------------------------------------------------------------
+# SKOS graph operators over the tpch bridge
+# --------------------------------------------------------------------------
+
+
+def q_skos_levels(spark, sf_dir):
+    from skosconverter_spark.plans.hierarchy import dfs_rows
+
+    rows = dfs_rows(triples_from_tpch(spark, sf_dir), EngineConfig())
+    return rows.select("uri", "label", "level", "section")
+
+
+def q_skos_closure(spark, sf_dir):
+    from skosconverter_spark.kg.canonicalize import transitive_closure
+    from skosconverter_spark.plans.hierarchy import parent_edges
+
+    t = triples_from_tpch(spark, sf_dir)
+    return transitive_closure(parent_edges(t)).select("descendant", "ancestor")
+
+
+def q_skos_best_label(spark, sf_dir):
+    from skosconverter_spark.plans import views
+
+    t = triples_from_tpch(spark, sf_dir)
+    cfg = EngineConfig(preferred_language="fr")
+    nodes = (
+        views.concepts(t).select("uri").unionByName(views.schemes(t).select("uri"))
+    )
+    return views.best_label(t, cfg, nodes).select("uri", "label")
+
+
+def q_skos_orphans(spark, sf_dir):
+    from skosconverter_spark.plans.hierarchy import orphan_concepts, scheme_table
+
+    t = triples_from_tpch(spark, sf_dir)
+    return orphan_concepts(t, scheme_table(t, EngineConfig())).select(
+        F.col("concept").alias("uri"), "scheme"
+    )
+
+
+def q_skos_polyhierarchy(spark, sf_dir):
+    from skosconverter_spark.operators.validate import polyhierarchy
+
+    t = triples_from_tpch(spark, sf_dir)
+    return polyhierarchy(t).select(
+        "uri",
+        F.size("parents").alias("n_parents"),
+        F.array_join("parents", ",").alias("parents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# deduplication (documents corpus with planted exact + near duplicates)
+# --------------------------------------------------------------------------
+
+
+def _dedup_corpus(spark, sf_dir):
+    """documents ∪ exact copies (+2e6 ids) ∪ perturbed copies (+1e6 ids)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = d.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    near = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_DEDUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 2000000, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text || ' the end' FROM documents
+)
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from skosconverter_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_dedup_corpus(spark, sf_dir)).select(
+        "fp", "n_docs", "representative"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from skosconverter_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_dedup_corpus(spark, sf_dir), 0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from skosconverter_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_dedup_corpus(spark, sf_dir), 0.8)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from skosconverter_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    from skosconverter_spark.operators.similarity import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=3)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from skosconverter_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=3, centroid_mod=23)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from skosconverter_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), 0.35)
+
+
+# --------------------------------------------------------------------------
+# text analysis over documents
+# --------------------------------------------------------------------------
+
+
+def q_text_token_count(spark, sf_dir):
+    from skosconverter_spark.functions.text import bpe_ish_token_count, token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from skosconverter_spark.functions.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_tokens", "n_stopwords", "stopword_ratio"
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from skosconverter_spark.functions.text import fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    from skosconverter_spark.functions.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_byte_stats(spark, sf_dir):
+    from skosconverter_spark.operators.multimodal import byte_stats, media_from_documents
+
+    return byte_stats(media_from_documents(_docs(spark, sf_dir)))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from skosconverter_spark.operators.multimodal import featurize, media_from_documents
+
+    feats = featurize(media_from_documents(_docs(spark, sf_dir)), dims=8)
+    # fold the feature vector into oracle-checkable integers: bucket of the
+    # max weight, and the (exact-rational) weight numerator via n_bytes
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.expr(
+            "array_position(features, array_max(features))"
+        ).cast("int").alias("argmax_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# windows / time / classic aggregation
+# --------------------------------------------------------------------------
+
+
+def q_events_window_agg(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def q_events_top_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(14,2)")).alias("tv")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("tv").desc(), "user_id")
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type", "user_id", F.col("tv").cast("double").alias("total_value"), "rank"
+        )
+    )
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(16,2)")).cast("double").alias(
+                "sum_base_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "skos_levels": q_skos_levels,
+        "skos_closure": q_skos_closure,
+        "skos_best_label": q_skos_best_label,
+        "skos_orphans": q_skos_orphans,
+        "skos_polyhierarchy": q_skos_polyhierarchy,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "text_langid": q_text_langid,
+        "multimodal_byte_stats": q_multimodal_byte_stats,
+        "multimodal_features": q_multimodal_features,
+        "events_window_agg": q_events_window_agg,
+        "events_top_users": q_events_top_users,
+        "lineitem_pricing": q_lineitem_pricing,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_NU = "'urn:tpch:nation:' || nkey"
+_RU = "'urn:tpch:region:' || r_regionkey"
+
+_SKOS_LEVELS_SQL = f"""
+WITH {ORACLE_CHAIN_CTE.strip()},
+orph AS (
+  SELECT n_nationkey AS nkey, n_name, n_regionkey AS rkey
+  FROM nation WHERE n_nationkey % 7 = 3
+)
+SELECT {_RU} AS uri, r_name AS label, 0 AS level, 'scheme' AS section FROM region
+UNION ALL
+SELECT {_NU}, n_name, pos, 'top' FROM chain
+UNION ALL
+SELECT {_NU}, n_name, 2, 'orphan' FROM orph
+UNION ALL
+SELECT NULL, '[Other Concepts in ' || r_name || ']', 1, 'orph_hdr'
+FROM region WHERE EXISTS (SELECT 1 FROM orph WHERE orph.rkey = r_regionkey)
+"""
+
+_SKOS_CLOSURE_SQL = f"""
+WITH RECURSIVE {ORACLE_CHAIN_CTE.strip()},
+edges AS (SELECT nkey AS child, prev_nkey AS parent FROM chain WHERE pos > 1),
+anc(child, ancestor) AS (
+  SELECT child, parent FROM edges
+  UNION
+  SELECT a.child, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child
+)
+SELECT 'urn:tpch:nation:' || child AS descendant,
+       'urn:tpch:nation:' || ancestor AS ancestor
+FROM anc
+"""
+
+_SKOS_BEST_LABEL_SQL = f"""
+SELECT 'urn:tpch:nation:' || n_nationkey AS uri, lower(n_name) AS label FROM nation
+UNION ALL
+SELECT {_RU} AS uri, r_name AS label FROM region
+"""
+
+_SKOS_ORPHANS_SQL = """
+SELECT 'urn:tpch:nation:' || n_nationkey AS uri,
+       'urn:tpch:region:' || n_regionkey AS scheme
+FROM nation WHERE n_nationkey % 7 = 3
+"""
+
+_SKOS_POLY_SQL = f"""
+WITH {ORACLE_CHAIN_CTE.strip()},
+tops AS (SELECT rkey, nkey AS top_nkey FROM chain WHERE pos = 1)
+SELECT 'urn:tpch:nation:' || c.nkey AS uri, 2 AS n_parents,
+       'urn:tpch:nation:' || c.prev_nkey || ',' || 'urn:tpch:nation:' || t.top_nkey
+         AS parents
+FROM chain c JOIN tops t USING (rkey)
+WHERE c.pos > 1 AND c.nkey % 11 = 5 AND c.prev_nkey != t.top_nkey
+"""
+
+# shared SQL fragments for text/dedup oracles
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+_SHINGLES_SQL = f"""
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)
+)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+{_DEDUP_CORPUS_SQL.strip().rstrip()},
+{_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= {{tau}}
+"""
+
+
+def _minhash_sql(tau: float, k: int = 12, bands: int = 4) -> str:
+    r = k // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b, cat=" || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    jac = _JACCARD_PAIRS_SQL.format(tau=0.0)
+    # reuse the jaccard CTE body as a subquery for the verify step
+    return f"""
+WITH {_DEDUP_CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bandrows AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE, 6) AS jaccard
+FROM cand c
+JOIN common USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= {tau}
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(bits)
+    )
+    simbits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+tok AS (
+  SELECT doc_id, t AS tok, count(*) AS cnt
+  FROM corpus, UNNEST({_TOKS}) AS u(t)
+  WHERE t != '' GROUP BY doc_id, t
+),
+h AS (SELECT doc_id, md5(tok) AS h, cnt FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {simbits} AS simhash FROM v
+"""
+
+
+_DOT = (
+    "list_reduce(list_apply(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE),"
+    " (x, y) -> x + y)"
+)
+_NORM_V = "sqrt(list_reduce(list_apply({a}, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        _DOT.format(a=a, b=b)
+        + " / ("
+        + _NORM_V.format(a=a)
+        + " * "
+        + _NORM_V.format(a=b)
+        + ")"
+    )
+
+
+_ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos('q.qv', 'e.embedding')} AS score
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+_ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 23 = 0
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+v AS (SELECT e.vec_id AS neighbor_id, e.embedding AS vv, a.centroid_id
+      FROM embeddings e JOIN assigned a USING (vec_id)),
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.centroid_id
+      FROM embeddings e JOIN assigned a USING (vec_id) WHERE e.vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.neighbor_id, {_cos('q.qv', 'v.vv')} AS score
+  FROM v JOIN q USING (centroid_id) WHERE v.neighbor_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+_EMB_NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos('a.embedding', 'b.embedding')}, 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos('a.embedding', 'b.embedding')} >= 0.35
+"""
+
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
+
+_TEXT_QUALITY_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS toks
+  FROM corpus
+)
+SELECT doc_id, n_chars, len(toks) AS n_tokens,
+       len(list_filter(toks, x -> lower(x) IN {_STOPWORDS_SQL})) AS n_stopwords,
+       len(list_filter(toks, x -> lower(x) IN {_STOPWORDS_SQL}))::DOUBLE
+         / len(toks)::DOUBLE AS stopword_ratio
+FROM t
+"""
+
+_TOKEN_COUNT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS toks,
+         list_filter(string_split(regexp_replace(
+             regexp_replace(text, '([^\w\s])', ' \1', 'g'), '\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS subtoks
+  FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens, len(subtoks) AS n_subtokens FROM t
+"""
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+# documents.text is pure ASCII (verified: max codepoint 121), so the
+# utf-8 byte stream equals the codepoint stream — chars stand in for
+# bytes, which DuckDB can't index out of a BLOB directly
+_MULTIMODAL_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text, octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+chars AS (
+  SELECT media_id, kind, n_bytes, unnest(string_split_regex(text, '')) AS ch
+  FROM b
+),
+hist AS (
+  SELECT media_id, kind, n_bytes, unicode(ch) % 8 AS bucket, count(*) AS cnt
+  FROM chars WHERE ch != '' GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT media_id, kind, n_bytes, bucket, cnt,
+         ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY cnt DESC, bucket) AS rn
+  FROM hist
+)
+SELECT media_id, kind, n_bytes, bucket + 1 AS argmax_bucket FROM best WHERE rn = 1
+"""
+
+_EVENTS_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       (sum(value::DECIMAL(14,2)))::DOUBLE AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_EVENTS_TOP_USERS_SQL = """
+WITH totals AS (
+  SELECT event_type, user_id, sum(value::DECIMAL(14,2)) AS tv
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, tv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tv DESC, user_id) AS rank
+  FROM totals
+)
+SELECT event_type, user_id, tv::DOUBLE AS total_value, rank
+FROM ranked WHERE rank <= 3
+"""
+
+_LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::DECIMAL(14,2)))::DOUBLE AS sum_qty,
+       (sum(l_extendedprice::DECIMAL(16,2)))::DOUBLE AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+_DEDUP_EXACT_SQL = f"""
+WITH {_DEDUP_CORPUS_SQL.strip()},
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS representative
+FROM fp GROUP BY fp HAVING count(*) > 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "skos_levels": _SKOS_LEVELS_SQL,
+        "skos_closure": _SKOS_CLOSURE_SQL,
+        "skos_best_label": _SKOS_BEST_LABEL_SQL,
+        "skos_orphans": _SKOS_ORPHANS_SQL,
+        "skos_polyhierarchy": _SKOS_POLY_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": "WITH " + _JACCARD_PAIRS_SQL.format(tau=0.8),
+        "dedup_minhash_lsh": _minhash_sql(0.8),
+        "dedup_simhash": _simhash_sql(),
+        "ann_topk": _ANN_TOPK_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "text_token_count": _TOKEN_COUNT_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "text_fingerprint": _FINGERPRINT_SQL,
+        # text_langid: model-ish heuristic, not SQL-expressible → rows-only
+        "multimodal_byte_stats": _MULTIMODAL_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        "events_window_agg": _EVENTS_WINDOW_SQL,
+        "events_top_users": _EVENTS_TOP_USERS_SQL,
+        "lineitem_pricing": _LINEITEM_PRICING_SQL,
+    }

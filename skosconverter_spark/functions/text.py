@@ -1,0 +1,121 @@
+"""Text-analysis functions for training-data pipelines.
+
+All hot-path functions are pure DataFrame expressions (JVM-side,
+whole-stage-codegen) — no UDFs — so they hold up at corpus scale:
+token counting, quality scoring, document fingerprinting. Language
+identification is the one model-ish function; it is an Arrow-batched
+pandas UDF over character n-gram profiles (a classic public heuristic),
+kept deterministic and dependency-free.
+
+Every ANSI-expressible function here has a matching DuckDB oracle in
+__spark_entry__ (same md5, same integer arithmetic, same exact-rational
+ratios) so the harness can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+_WS_NORM = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, no empties)."""
+    return F.filter(F.split(col, _WS_NORM), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish count: word tokens plus punctuation marks split out,
+    the standard pre-tokenizer family (public BPE practice). Punctuation
+    is detached by inserting a space before it (no lookahead — RE2
+    engines like DuckDB's must reproduce this for the oracle)."""
+    detached = F.regexp_replace(col, r"([^\w\s])", " $1")
+    return F.size(F.filter(F.split(detached, r"\s+"), lambda t: t != F.lit("")))
+
+
+def stopword_count(col: Column) -> Column:
+    return F.size(
+        F.filter(tokens(F.lower(col)), lambda t: t.isin(*STOPWORDS))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: all exact integer/rational math so
+    any SQL engine reproduces them bit-for-bit."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        stopword_count(t).alias("n_stopwords"),
+        (
+            F.length(F.regexp_replace(t, r"[\w\s]", "")).cast("double")
+            / F.length(t).cast("double")
+        ).alias("punct_ratio"),
+        (stopword_count(t).cast("double") / n_tok.cast("double")).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (md5 is identical across engines; xxhash64 is Spark-private.)"""
+    norm = F.trim(F.regexp_replace(F.lower(col), _WS_NORM, " "))
+    return F.md5(F.encode(norm, "utf-8"))
+
+
+# --------------------------------------------------------------------------
+# language identification (character n-gram heuristic, Arrow-batched)
+# --------------------------------------------------------------------------
+
+# top character trigrams per language (public frequency tables, trimmed)
+_LANG_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "],
+    "de": ["en ", "er ", " de", "der", "ie ", "ein", "ich", "sch", "ch ", " ge"],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", "nt ", "que", " qu", "la "],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "ión", "ado", "que"],
+    "nl": ["en ", " de", "de ", "an ", "van", " va", "een", " ee", "er ", "ij "],
+}
+
+
+def lang_id_kernel(text: str | None) -> str | None:
+    """Score = count of profile-trigram hits; ties broken by language
+    code; below 2 hits → 'und'."""
+    if not text:
+        return None
+    t = f" {text.lower()} "
+    best_lang, best_score = "und", 1
+    for lang in sorted(_LANG_PROFILES):
+        score = sum(t.count(g) for g in _LANG_PROFILES[lang])
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) via mapInPandas (one Python call per batch)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pred_lang": [lang_id_kernel(t) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        run, "doc_id long, pred_lang string"
+    )

@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over the ``documents`` table (doc_id, text, ...):
+
+- exact:      md5 fingerprint groupBy — one shuffle, map-side combined.
+- ngram-jaccard: word-3-gram shingles, inverted-index self-join,
+  |∩|/|∪| threshold. Exact but O(pairs-sharing-a-shingle): the scale
+  path is minhash below; this is the verifier / small-corpus tool.
+- minhash+LSH: k md5-based min-hashes → b bands of r rows → band-bucket
+  self-join for candidates → exact jaccard verify. The classic
+  shingle→minhash→band→bucket-join pipeline; candidate generation cost
+  is bounded by bucket collisions, not n².
+- simhash:    16-bit hamming sketch from md5 nibble bits (per-token
+  weighted bit votes) — pure aggregation, no joins.
+
+Hash discipline: ONLY md5 (identical across Spark / DuckDB / Python),
+so every operator here is verifiable against an ANSI-SQL oracle
+value-for-value. xxhash64 would be faster but is Spark-private; at
+100 TB you'd swap the constant, not the shape.
+
+All expressions are JVM-side (no Python UDFs anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from skosconverter_spark.functions.text import fingerprint
+
+N_MINHASH = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+
+
+def norm_tokens(col):
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " "),
+        lambda t: t != F.lit(""),
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingle array (empty when fewer than n tokens)."""
+    toks = norm_tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, n_docs, doc_ids sorted, representative=min doc_id) for groups
+    with >1 member."""
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("representative"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct — the inverted-index input."""
+    return (
+        docs.select("doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set jaccard ≥ τ.
+
+    Inverted-index equi-join on the shingle (no cross join); jaccard
+    from exact integers so any engine reproduces the double exactly.
+    """
+    sh = doc_shingles(docs, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = N_MINHASH
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}): md5-based min-hash signature per document."""
+    sh = doc_shingles(docs, text_col)
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "utf-8"))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    bands: int = N_BANDS,
+) -> DataFrame:
+    """Candidate pairs from LSH band buckets, verified with exact jaccard.
+
+    bands × rows = k; a pair is a candidate iff some band's signature
+    slice matches exactly (bucket join per band, unioned, deduped).
+    """
+    r = k // bands
+    sig = minhash_signatures(docs, text_col, k).cache()
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * r + j}") for j in range(r)]
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.encode(F.concat_ws("|", *cols), "utf-8")).alias("bucket"),
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    a = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b_ = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, 0.0, text_col).withColumnRenamed(
+        "jaccard", "jaccard_all"
+    )
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard_all") >= threshold)
+        .select("doc_a", "doc_b", F.col("jaccard_all").alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): per-token md5 nibble high-bits vote ±count;
+    bit j set iff the weighted vote is positive."""
+    toks = (
+        docs.select("doc_id", F.explode(norm_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5(F.encode(F.col("tok"), "utf-8")))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(F.col("h"), j + 1, 1).isin(*"89abcdef"),
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+  side against the full vector table; the dot product is an ordered
+  fold (F.aggregate over zip_with) so any engine that folds
+  left-to-right in doubles reproduces the score bit-for-bit.
+- ``ivf_topk``: the scale path — a deterministic IVF variant: coarse
+  centroids are a fixed modulus sample of the corpus, every vector is
+  assigned to its nearest centroid (one broadcast join), and a query
+  only scans its own centroid's bucket (nprobe=1). Recall < 1 by
+  design; the brute-force operator is the verifier.
+- ``embedding_neardup_pairs``: near-duplicate detection by pairwise
+  cosine ≥ τ over bucket-mates (same IVF bucket), the embedding-space
+  analogue of LSH dedup.
+
+No UDFs: everything compiles to Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in doubles (order-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, score): exact top-k by cosine.
+
+    ``queries`` is broadcast (top-k searches are many-small-queries);
+    candidate scoring is a map-side nested loop the optimizer fuses into
+    one stage — no shuffle until the per-query top-k window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("v_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroid_mod: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest deterministic centroid.
+
+    Centroids are the vectors whose id ≡ 0 (mod centroid_mod) — a fixed,
+    engine-agnostic coarse quantizer (real deployments train k-means;
+    the assignment plumbing is identical)."""
+    cents = vectors.filter((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(F.broadcast(cents), F.lit(True)).withColumn(
+        "score", cosine(F.col(vec_col), F.col("c_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    centroid_mod: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only the query's own centroid bucket."""
+    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col)
+    v = vectors.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v_vec"),
+        "centroid_id",
+    )
+    q = queries.join(assign, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid_id",
+    )
+    scored = (
+        v.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("v_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, score) with cosine ≥ τ. Exact over all pairs — the
+    pair generation is a self-join the optimizer ranges over; at corpus
+    scale, gate through ivf_assign buckets first (same shape as the
+    LSH band join in dedup)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )

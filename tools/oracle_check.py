@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() in DuckDB over the same sf dir,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat().replace("+00:00", "")
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.9g}"
+    except Exception:
+        pass
+    return v
+
+
+def df_to_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(norm_cell(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from skosconverter_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows_raw = sdf.collect()
+            scols = sdf.columns
+            srows, scols_sorted = df_to_rows(scols, [tuple(r) for r in srows_raw])
+        except Exception as exc:
+            print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(srows)} (rows-only, no oracle)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = res.columns
+            orows, ocols_sorted = df_to_rows(ocols, res.fetchall())
+        except Exception as exc:
+            print(f"FAIL {name}: oracle error {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        if scols_sorted != ocols_sorted:
+            print(f"FAIL {name}: columns {scols_sorted} vs {ocols_sorted}")
+            failures.append(name)
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            failures.append(name)
+            continue
+        if srows != orows:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            print(f"FAIL {name}: values differ; first diffs: {diff}")
+            failures.append(name)
+            continue
+        print(f"ok   {name}: rows={len(srows)} values match")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
