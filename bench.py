@@ -78,14 +78,14 @@ def run_bench(sf_dir: str, cpus: int, pages_rows: int | None = None) -> dict:
     throughput["kg_pages_per_sec"] = round(pages_rows / timings["kg_pipeline"], 1)
 
     # --- skos_forward (reference-comparable: concepts/sec) ------------------
+    # local strategy: a vocabulary is driver-sized; rendering one document
+    # through the distributed fixpoint would pay ~12 scheduler jobs for
+    # nothing (see operators.render.render_text_local)
     n_concepts = 22_100  # BASELINE.md measurement size
     vt = synthesize_vocab(spark, n_concepts).localCheckpoint(eager=True)
+    from skosconverter_spark.operators.render import render_text_local
 
-    def forward():
-        rows = document_rows(vt, cfg)
-        return render_documents(rows, "csv").collect()
-
-    timed("skos_forward", forward)
+    timed("skos_forward", lambda: render_text_local(vt, "csv", cfg))
     throughput["forward_concepts_per_sec"] = round(n_concepts / timings["skos_forward"], 1)
 
     # --- notion2skos (lines/sec) --------------------------------------------

@@ -64,16 +64,23 @@ class StageRunner:
         df = build()
         df.write.mode("overwrite").parquet(str(data))
         out = self.spark.read.parquet(str(data))
-        per_part = (
+        # one job: per-partition lineage counts; total rows derived from it
+        per_part_rows = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
-            .withColumn("stage", F.lit(stage))
-            .withColumn("input_fingerprint", F.lit(input_fingerprint))
-            .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
-            .select("stage", "partition_id", "rows_out", "wall_ms", "input_fingerprint")
+            .collect()
         )
-        per_part.write.mode("overwrite").parquet(str(metrics))
-        rows = out.count()
+        wall_ms = int((time.time() - t0) * 1000)
+        rows = sum(r.rows_out for r in per_part_rows)
+        self.spark.createDataFrame(
+            [
+                (stage, r.partition_id, r.rows_out, wall_ms, input_fingerprint)
+                for r in per_part_rows
+            ]
+            or [(stage, -1, 0, wall_ms, input_fingerprint)],
+            "stage string, partition_id int, rows_out long, wall_ms long, "
+            "input_fingerprint string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(metrics))
         manifest.parent.mkdir(parents=True, exist_ok=True)
         manifest.write_text(
             json.dumps(

@@ -36,8 +36,48 @@ CSV_FIELDS = [
 ]
 
 
-def document_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
-    """DFS-ordered row table with full concept metadata, ready to render."""
+_DOC_ROWS_SCHEMA = (
+    "sort_path array<string>, section string, origin string, uri string, "
+    "label string, level int, parent_label string, scheme_label string, "
+    "top_idx int, definition string, alt_labels array<string>, "
+    "notation string, same_as array<string>, related array<string>"
+)
+
+
+def collect_triples(triples: DataFrame) -> list[tuple]:
+    return [
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang, r.seq)
+        for r in triples.select(
+            "subj", "pred", "obj", "obj_is_literal", "obj_lang", "seq"
+        ).collect()
+    ]
+
+
+def render_text_local(triples: DataFrame, fmt: str, config: EngineConfig) -> str:
+    """Whole-document render via the driver-local DFS kernel
+    (plans.local_dfs): one collect, zero fixpoint jobs. The right path
+    for driver-sized vocabularies — which SKOS vocabularies are by
+    construction; the distributed dfs_rows path covers graphs that
+    aren't. A differential test pins both to identical output."""
+    from skosconverter_spark.plans.local_dfs import dfs_rows_local
+
+    rows = dfs_rows_local(collect_triples(triples), config)
+    return _KERNELS[fmt](rows)
+
+
+def document_rows(
+    triples: DataFrame, config: EngineConfig, strategy: str = "distributed"
+) -> DataFrame:
+    """DFS-ordered row table with full concept metadata, ready to render.
+
+    strategy='local' collects the (vocabulary-sized) triples and runs
+    the driver-local kernel; 'distributed' runs the min-path fixpoint.
+    """
+    if strategy == "local":
+        from skosconverter_spark.plans.local_dfs import dfs_rows_local
+
+        local = dfs_rows_local(collect_triples(triples), config)
+        return triples.sparkSession.createDataFrame(local, _DOC_ROWS_SCHEMA)
     rows = dfs_rows(triples, config)
     meta = views.concept_meta(
         triples, config, rows.filter(F.col("uri").isNotNull()).select("uri").distinct()
@@ -342,5 +382,14 @@ def render_documents(
 
 
 def render_document_text(doc_rows: DataFrame, fmt: str) -> str:
-    """Single-vocabulary convenience: the whole corpus as one document."""
-    return render_documents(doc_rows, fmt).collect()[0].payload
+    """Single-vocabulary convenience: the whole corpus as one document.
+
+    A single output document is driver-sized by definition (the
+    reference writes ONE file), so this collects the row table via Arrow
+    and runs the kernel driver-side — skipping the one-group shuffle the
+    grouped-map path would force."""
+    pdf = doc_rows.toPandas()
+    pdf = pdf.sort_values("sort_path", key=lambda s: s.map(tuple))
+    for c in ("alt_labels", "same_as", "related"):
+        pdf[c] = pdf[c].map(lambda v: [] if v is None else list(v))
+    return _KERNELS[fmt](pdf[_ROW_COLS].to_dict("records"))

@@ -112,12 +112,10 @@ def concept_scheme_assignment(
             F.col("scheme_order").alias("order_key"),
         )
     )
-    w = Window.partitionBy("concept").orderBy("phase", "order_key")
     return (
         tops.unionByName(in_scheme)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("concept", "scheme")
+        .groupBy("concept")
+        .agg(F.min(F.struct("phase", "order_key", "scheme"))["scheme"].alias("scheme"))
     )
 
 
@@ -136,21 +134,23 @@ def parent_edges(triples: DataFrame) -> DataFrame:
     cand = (
         narrower.unionByName(broader)
         .filter(F.col("child") != F.col("parent"))
-        .join(F.broadcast(concepts), "parent")
+        .join(concepts, "parent")
     )
-    w = Window.partitionBy("child").orderBy("seq")
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        cand.groupBy("child")
+        .agg(F.min(F.struct("seq", "parent"))["parent"].alias("parent"))
         .select("child", "parent")
     )
 
 
-def orphan_concepts(triples: DataFrame, schemes_df: DataFrame) -> DataFrame:
+def orphan_concepts(
+    triples: DataFrame, schemes_df: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
     """(concept, scheme|null): no broader triple, not a top concept, not
     child-assigned (skos_converter.py:735-762, J7 double anti-join),
     grouped by the reference's concept→scheme assignment. scheme is null
-    for the no-scheme group."""
+    for the no-scheme group. Pass precomputed parent ``edges`` to avoid
+    recomputing the dedup."""
     concepts = views.concepts(triples).select("uri")
     has_broader = (
         triples.filter(F.col("pred") == SKOS_BROADER)
@@ -158,7 +158,9 @@ def orphan_concepts(triples: DataFrame, schemes_df: DataFrame) -> DataFrame:
         .distinct()
     )
     tops = top_concept_slots(triples).select(F.col("concept").alias("uri")).distinct()
-    children = parent_edges(triples).select(F.col("child").alias("uri")).distinct()
+    if edges is None:
+        edges = parent_edges(triples)
+    children = edges.select(F.col("child").alias("uri")).distinct()
     orphans = (
         concepts.join(has_broader, "uri", "left_anti")
         .join(tops, "uri", "left_anti")
@@ -192,7 +194,6 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
     """
     spark = triples.sparkSession
     schemes_df = scheme_table(triples, config).cache()
-    n_schemes = schemes_df.count()
 
     all_nodes = (
         views.concepts(triples)
@@ -231,7 +232,8 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
         F.col("concept_label").alias("label"),
     )
 
-    orphans = orphan_concepts(triples, schemes_df).cache()
+    edges_raw = parent_edges(triples).localCheckpoint(eager=True)
+    orphans = orphan_concepts(triples, schemes_df, edges_raw).cache()
     orph_scheme = with_label(
         orphans.filter(F.col("scheme").isNotNull()).join(schemes_df, "scheme"),
         "concept",
@@ -259,7 +261,7 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
     ).select(
         F.col("concept").alias("uri"),
         F.array(
-            _pad(F.lit(n_schemes)), F.lit("3"), F.col("concept_label"), F.col("concept")
+            F.lit("~" * _SI_PAD), F.lit("3"), F.col("concept_label"), F.col("concept")
         ).alias("sort_path"),
         F.lit("unassigned").alias("section"),
         F.lit("anchor").alias("origin"),
@@ -270,52 +272,83 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
         F.col("concept_label").alias("label"),
     )
 
-    best = top_anchor.unionByName(orph_scheme).unionByName(orph_unassigned)
-    w_min = Window.partitionBy("uri").orderBy("sort_path")
-    best = (
-        best.withColumn("rn", F.row_number().over(w_min))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .localCheckpoint(eager=True)
-    )
+    ROW_FIELDS = [
+        "sort_path", "section", "origin", "level",
+        "parent_label", "scheme_label", "top_idx", "label",
+    ]
 
-    # ---- min-path fixpoint over parent edges --------------------------------
-    edges = with_label(parent_edges(triples), "child").cache()
-    frontier = best
-    for _ in range(config.max_iterations):
-        children = (
-            edges.join(frontier.withColumnRenamed("uri", "parent"), "parent")
-            .select(
-                F.col("child").alias("uri"),
-                F.concat(
-                    F.col("sort_path"), F.array(F.col("child_label"), F.col("child"))
-                ).alias("sort_path"),
-                "section",
-                F.lit("child").alias("origin"),
-                (F.col("level") + 1).alias("level"),
-                F.col("label").alias("parent_label"),
-                "scheme_label",
-                F.lit(-1).alias("top_idx"),
-                F.col("child_label").alias("label"),
+    def min_by_path(df):
+        # first-encounter-wins == smallest sort_path; struct min is a hash
+        # aggregation (partial map-side), cheaper than a sort window
+        return df.groupBy("uri").agg(
+            F.min(F.struct(*ROW_FIELDS)).alias("r")
+        ).select("uri", "r.*")
+
+    anchors = min_by_path(
+        top_anchor.unionByName(orph_scheme).unionByName(orph_unassigned)
+    ).localCheckpoint(eager=True)
+
+    edges = with_label(edges_raw, "child")
+
+    def expand(frontier):
+        return edges.join(frontier.withColumnRenamed("uri", "parent"), "parent").select(
+            F.col("child").alias("uri"),
+            F.concat(
+                F.col("sort_path"), F.array(F.col("child_label"), F.col("child"))
+            ).alias("sort_path"),
+            "section",
+            F.lit("child").alias("origin"),
+            (F.col("level") + 1).alias("level"),
+            F.col("label").alias("parent_label"),
+            "scheme_label",
+            F.lit(-1).alias("top_idx"),
+            F.col("child_label").alias("label"),
+        )
+
+    # Fast path: after one-parent dedup the graph is a forest, so unless
+    # some ANCHOR node is also an edge child (a top concept that is
+    # somebody's narrower — rare), every node has exactly one candidate
+    # path and plain level-synchronous BFS needs no per-round min-merge.
+    conflicted = not anchors.join(
+        edges.select(F.col("child").alias("uri")), "uri", "semi"
+    ).isEmpty()
+
+    if not conflicted:
+        parts = [anchors]
+        frontier = anchors
+        for _ in range(config.max_iterations):
+            frontier = expand(frontier)
+            if frontier.isEmpty():
+                break
+            parts.append(frontier)
+        best = parts[0]
+        for p in parts[1:]:
+            best = best.unionByName(p)
+    else:
+        # min-merge fixpoint: keep the smallest path per node each round,
+        # re-expanding only improved rows, until no path improves
+        best = anchors
+        frontier = anchors
+        for _ in range(config.max_iterations):
+            merged = min_by_path(best.unionByName(expand(frontier))).localCheckpoint(
+                eager=True
             )
-        )
-        merged = (
-            best.unionByName(children)
-            .withColumn("rn", F.row_number().over(w_min))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            .localCheckpoint(eager=True)
-        )
-        # frontier = rows whose path improved this round
-        frontier = merged.join(
-            best.select("uri", F.col("sort_path").alias("old_path")), "uri", "left"
-        ).filter(
-            F.col("old_path").isNull() | (F.col("sort_path") != F.col("old_path"))
-        ).drop("old_path")
-        improved = frontier.count()
-        best = merged
-        if improved == 0:
-            break
+            frontier = (
+                merged.join(
+                    best.select("uri", F.col("sort_path").alias("old_path")),
+                    "uri",
+                    "left",
+                )
+                .filter(
+                    F.col("old_path").isNull()
+                    | (F.col("sort_path") != F.col("old_path"))
+                )
+                .drop("old_path")
+            )
+            improved = frontier.count()
+            best = merged
+            if improved == 0:
+                break
 
     concept_rows = best
 
@@ -357,7 +390,7 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
         .filter(F.col("count") > 0)
         .select(
             F.lit(None).cast("string").alias("uri"),
-            F.array(_pad(F.lit(n_schemes)), F.lit("3")).alias("sort_path"),
+            F.array(F.lit("~" * _SI_PAD), F.lit("3")).alias("sort_path"),
             F.lit("unass_hdr").alias("section"),
             F.lit("anchor").alias("origin"),
             F.lit(0).alias("level"),

@@ -112,17 +112,15 @@ def _lang_rank(config: EngineConfig):
 def best_label(triples: DataFrame, config: EngineConfig, uris: DataFrame | None = None) -> DataFrame:
     """get_best_label for every node at once (W1) → (uri, label).
 
-    One window pick instead of a per-node lru_cached lookup
+    One hash-aggregated min(struct) pick — partial-aggregated map-side,
+    no sort, no window — instead of a per-node lru_cached lookup
     (skos_converter.py:376, :420-451). If ``uris`` is given (a DataFrame
     with column ``uri``), URIs with no label rows fall back to the URI
     local part (:433-434).
     """
     lab = labels(triples).withColumn("lang_rank", _lang_rank(config))
-    w = Window.partitionBy("uri").orderBy("kind_rank", "lang_rank", "seq")
-    picked = (
-        lab.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("uri", "label")
+    picked = lab.groupBy("uri").agg(
+        F.min(F.struct("kind_rank", "lang_rank", "seq", "label"))["label"].alias("label")
     )
     if uris is None:
         return picked
@@ -135,11 +133,8 @@ def simple_label(triples: DataFrame, uris: DataFrame | None = None) -> DataFrame
     """_get_simple_label (skos_converter.py:376-394): pref[0] → alt[0] →
     rdfs[0] → URI fragment. NO language ranking — store order only."""
     lab = labels(triples)
-    w = Window.partitionBy("uri").orderBy("kind_rank", "seq")
-    picked = (
-        lab.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("uri", "label")
+    picked = lab.groupBy("uri").agg(
+        F.min(F.struct("kind_rank", "seq", "label"))["label"].alias("label")
     )
     if uris is None:
         return picked
@@ -149,13 +144,11 @@ def simple_label(triples: DataFrame, uris: DataFrame | None = None) -> DataFrame
 
 
 def _first_by_seq(triples: DataFrame, pred: str, out_name: str) -> DataFrame:
-    w = Window.partitionBy("uri").orderBy("seq")
     return (
         triples.filter(F.col("pred") == pred)
         .select(F.col("subj").alias("uri"), F.col("obj").alias(out_name), "seq")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("uri", out_name)
+        .groupBy("uri")
+        .agg(F.min(F.struct("seq", out_name))[out_name].alias(out_name))
     )
 
 
@@ -197,22 +190,67 @@ def collected(triples: DataFrame, pred: str, out_name: str) -> DataFrame:
 
 def concept_meta(triples: DataFrame, config: EngineConfig, uris: DataFrame) -> DataFrame:
     """The full per-concept metadata record (_get_concept_metadata,
-    skos_converter.py:934-944) for every uri in ``uris`` — five
-    broadcast-sized joins instead of five per-node lookups."""
-    base = uris.select("uri")
-    meta = (
-        base.join(best_label(triples, config, base), "uri", "left")
-        .join(definitions(triples), "uri", "left")
-        .join(collected(triples, SKOS_ALT_LABEL, "alt_labels"), "uri", "left")
-        .join(notations(triples), "uri", "left")
-        .join(collected(triples, OWL_SAME_AS, "same_as"), "uri", "left")
-        .join(collected(triples, SKOS_RELATED, "related"), "uri", "left")
+    skos_converter.py:934-944) for every uri in ``uris``.
+
+    ONE hash aggregation over the relevant triples computes every field
+    (conditional min-struct picks and seq-sorted collect_lists), then one
+    join onto ``uris`` — instead of five separate join+window subtrees.
+    The reference does ~7 indexed lookups per concept; this is the same
+    information in a single shuffle.
+    """
+    rel = triples.filter(
+        F.col("pred").isin(
+            SKOS_PREF_LABEL, SKOS_ALT_LABEL, RDFS_LABEL, SKOS_DEFINITION,
+            SKOS_SCOPE_NOTE, SKOS_NOTATION, OWL_SAME_AS, SKOS_RELATED,
+        )
+    )
+    kind_rank = (
+        F.when(F.col("pred") == SKOS_PREF_LABEL, F.lit(0))
+        .when(F.col("pred") == SKOS_ALT_LABEL, F.lit(1))
+        .when(F.col("pred") == RDFS_LABEL, F.lit(2))
+    )
+    lang_rank = _lang_rank(config)
+    src = rel.select(
+        F.col("subj").alias("uri"),
+        "pred",
+        F.col("obj"),
+        F.coalesce(F.col("obj_lang")).alias("lang"),
+        "seq",
+        kind_rank.alias("kind_rank"),
+    ).withColumn("lang_rank", lang_rank)
+
+    def first_of(pred):
+        return F.min(
+            F.when(F.col("pred") == pred, F.struct("seq", "obj"))
+        )["obj"]
+
+    def list_of(pred):
+        return F.transform(
+            F.array_sort(
+                F.collect_list(F.when(F.col("pred") == pred, F.struct("seq", "obj")))
+            ),
+            lambda s: s["obj"],
+        )
+
+    agg = src.groupBy("uri").agg(
+        F.min(
+            F.when(
+                F.col("kind_rank").isNotNull(),
+                F.struct("kind_rank", "lang_rank", "seq", F.col("obj").alias("label")),
+            )
+        )["label"].alias("label"),
+        first_of(SKOS_DEFINITION).alias("definition_"),
+        first_of(SKOS_SCOPE_NOTE).alias("scope_note_"),
+        first_of(SKOS_NOTATION).alias("notation"),
+        list_of(SKOS_ALT_LABEL).alias("alt_labels"),
+        list_of(OWL_SAME_AS).alias("same_as"),
+        list_of(SKOS_RELATED).alias("related"),
     )
     empty = F.array().cast("array<string>")
-    return meta.select(
+    return uris.select("uri").join(agg, "uri", "left").select(
         "uri",
         F.coalesce(F.col("label"), uri_local_part(F.col("uri"))).alias("label"),
-        F.coalesce(F.col("definition"), F.lit("")).alias("definition"),
+        F.coalesce(F.col("definition_"), F.col("scope_note_"), F.lit("")).alias("definition"),
         F.coalesce(F.col("alt_labels"), empty).alias("alt_labels"),
         F.coalesce(F.col("notation"), F.lit("")).alias("notation"),
         F.coalesce(F.col("same_as"), empty).alias("same_as"),
