@@ -54,16 +54,33 @@ def concept_profile_tokens(triples: DataFrame) -> DataFrame:
 
 
 def tfidf_context_scores(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
-    """(url, uri, context_tfidf): cosine(page TF-IDF, concept profile).
+    """(url, uri, context_tfidf): cosine(page TF-IDF, concept profile),
+    computed over the PROFILE token subspace.
 
-    The concept profile is an unweighted token set; cosine reduces to
-    sum(tfidf of shared tokens) / (||page|| * sqrt(|profile|)).
+    Scale rationale: the full page vocabulary is dominated by filler
+    words that occur on every page — grouping or joining 10^8+ token
+    rows on such keys is a textbook skewed shuffle. Restricting both the
+    weights and the page norm to tokens that occur in some concept
+    profile (a broadcast-sized set) makes every heavy path either
+    map-side (broadcast semi-join) or a uniform url-keyed partial
+    aggregation; the skewed token-keyed shuffle disappears entirely.
+    Scores are therefore "cosine in the profile subspace" — a standard
+    candidate-restricted scoring definition.
     """
-    pt = page_tokens(pages_text)
-    n_pages = pages_text.select("url").distinct().count()
+    prof = concept_profile_tokens(triples)  # (uri, token) — broadcast-sized
+    prof_tokens = prof.select("token").distinct()
+    pt = (
+        pages_text.select("url", F.explode(_tokens(F.col("text"))).alias("token"))
+        .join(F.broadcast(prof_tokens), "token")  # map-side filter
+        .groupBy("url", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_pages = pages_text.count()  # contract: one row per url
+    # document frequency only for profile tokens: bounded by the profile
+    # vocabulary, so this aggregation is small no matter the corpus size
     df_tok = pt.groupBy("token").agg(F.countDistinct("url").alias("df"))
     tfidf = (
-        pt.join(df_tok, "token")
+        pt.join(F.broadcast(df_tok), "token")
         .withColumn(
             "w", F.col("tf") * F.log(F.lit(float(n_pages + 1)) / (F.col("df") + 1.0))
         )
@@ -72,7 +89,6 @@ def tfidf_context_scores(pages_text: DataFrame, triples: DataFrame) -> DataFrame
     page_norm = tfidf.groupBy("url").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("page_norm")
     )
-    prof = concept_profile_tokens(triples)
     prof_norm = prof.groupBy("uri").agg(
         F.sqrt(F.count("*").cast("double")).alias("prof_norm")
     )
@@ -98,9 +114,63 @@ def tfidf_context_scores(pages_text: DataFrame, triples: DataFrame) -> DataFrame
     )
 
 
+def mention_context_scores(mentions: DataFrame, triples: DataFrame) -> DataFrame:
+    """(url, uri, context_tfidf): cosine between the page's MENTION
+    vector and the concept's surface set, with IDF over pages.
+
+    Scale rationale: the naive context model (TF-IDF over full page
+    text) explodes O(corpus tokens) rows — tens of billions at target
+    scale — only to discard everything outside the vocabulary. The
+    mention scanner has already found every vocabulary occurrence, so
+    the context vector is derivable from the mentions table alone:
+    tf(url, surface) = mention counts, idf over page frequency of the
+    surface. Co-occurring vocabulary mentions are the context signal;
+    no token explode, every shuffle is bounded by |mentions|.
+    """
+    from skosconverter_spark.kg.mentions import label_table
+
+    tf = mentions.groupBy("url", "norm_surface").agg(F.count("*").alias("tf"))
+    n_pages = mentions.select("url").distinct().count()
+    df_s = tf.groupBy("norm_surface").agg(F.countDistinct("url").alias("df"))
+    w = (
+        tf.join(F.broadcast(df_s), "norm_surface")
+        .withColumn(
+            "w", F.col("tf") * F.log(F.lit(float(n_pages + 1)) / (F.col("df") + 1.0))
+        )
+        .select("url", "norm_surface", "w")
+    )
+    page_norm = w.groupBy("url").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("page_norm")
+    )
+    prof = label_table(triples).select("uri", "norm_surface").distinct()
+    prof_norm = prof.groupBy("uri").agg(
+        F.sqrt(F.count("*").cast("double")).alias("prof_norm")
+    )
+    dots = (
+        w.join(F.broadcast(prof), "norm_surface")
+        .groupBy("url", "uri")
+        .agg(F.sum("w").alias("dot"))
+    )
+    return (
+        dots.join(page_norm, "url")
+        .join(F.broadcast(prof_norm), "uri")
+        .select(
+            "url",
+            "uri",
+            (
+                F.col("dot")
+                / F.when(
+                    F.col("page_norm") * F.col("prof_norm") > 0,
+                    F.col("page_norm") * F.col("prof_norm"),
+                ).otherwise(F.lit(1.0))
+            ).alias("context_tfidf"),
+        )
+    )
+
+
 def score_candidates(
     candidates: DataFrame,
-    pages_text: DataFrame,
+    mentions: DataFrame,
     triples: DataFrame,
     threshold: float = 0.25,
 ) -> DataFrame:
@@ -108,8 +178,8 @@ def score_candidates(
     kind) → scored links above threshold.
 
     surface_jaccard uses the candidate's own matched label — exact
-    dictionary matches give 1.0; the TF-IDF term separates homonym
-    candidates by page context.
+    dictionary matches give 1.0; the mention-context TF-IDF term
+    separates homonym candidates by what else the page mentions.
     """
     from skosconverter_spark.kg.mentions import label_table
 
@@ -129,7 +199,7 @@ def score_candidates(
         .groupBy("url", "surface", "norm_surface", "begin", "end", "concept_uri")
         .agg(F.max("surface_jaccard").alias("surface_jaccard"))
     )
-    ctx = tfidf_context_scores(pages_text, triples).withColumnRenamed(
+    ctx = mention_context_scores(mentions, triples).withColumnRenamed(
         "uri", "concept_uri"
     )
     scored = (

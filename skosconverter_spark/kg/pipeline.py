@@ -60,16 +60,24 @@ class StageRunner:
             m = json.loads(manifest.read_text())
             if m.get("input_fingerprint") == input_fingerprint:
                 return self.spark.read.parquet(str(data))
+        import os
+
+        debug = os.environ.get("SPARK_GRAFT_DEBUG_STAGES")
         t0 = time.time()
         df = build()
         df.write.mode("overwrite").parquet(str(data))
+        if debug:
+            print(f"    [{stage}] write: {time.time() - t0:.2f}s", flush=True)
         out = self.spark.read.parquet(str(data))
         # one job: per-partition lineage counts; total rows derived from it
+        t1 = time.time()
         per_part_rows = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
             .collect()
         )
+        if debug:
+            print(f"    [{stage}] metrics: {time.time() - t1:.2f}s", flush=True)
         wall_ms = int((time.time() - t0) * 1000)
         rows = sum(r.rows_out for r in per_part_rows)
         self.spark.createDataFrame(
@@ -136,45 +144,61 @@ def run_pipeline(
         lambda: salted_repartition(extract_text(pages), parts),
     )
 
-    mentions = runner.run_stage(
-        "20_mentions",
-        f"{fp_pages}|{fp_vocab}",
-        lambda: scan_mentions(pages_text, vocab_triples),
-    )
+    # stage DAG: mentions and page-triples only depend on extract — submit
+    # them concurrently (SparkSession job submission is thread-safe; the
+    # scheduler interleaves their tasks, so the cluster never idles while
+    # one stage's tail tasks drain)
+    from concurrent.futures import ThreadPoolExecutor
 
-    links = runner.run_stage(
-        "30_links",
-        f"{fp_pages}|{fp_vocab}|t={link_threshold}",
-        lambda: link_best(
-            score_candidates(
-                mention_candidates(mentions, vocab_triples),
-                pages_text.select("url", "text"),
-                vocab_triples,
-                threshold=link_threshold,
-            )
-        ),
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_mentions = pool.submit(
+            runner.run_stage,
+            "20_mentions",
+            f"{fp_pages}|{fp_vocab}",
+            lambda: scan_mentions(pages_text, vocab_triples),
+        )
+        f_page_triples = pool.submit(
+            runner.run_stage,
+            "40_page_triples",
+            fp_pages,
+            lambda: ok_triples(
+                extract_triples(
+                    pages_text.select(
+                        F.col("url"),
+                        F.lit("md").alias("fmt"),
+                        F.col("text").alias("payload"),
+                    ),
+                    config,
+                )
+            ),
+        )
+        mentions = f_mentions.result()
+        page_triples = f_page_triples.result()
 
-    page_triples = runner.run_stage(
-        "40_page_triples",
-        fp_pages,
-        lambda: ok_triples(
-            extract_triples(
-                pages_text.select(
-                    F.col("url"), F.lit("md").alias("fmt"), F.col("text").alias("payload")
-                ),
-                config,
-            )
-        ),
-    )
-
-    triples = runner.run_stage(
-        "50_canonical",
-        f"{fp_pages}|{fp_vocab}",
-        lambda: canonicalize_triples(
-            page_triples.unionByName(vocab_triples), config.max_iterations
-        ),
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_links = pool.submit(
+            runner.run_stage,
+            "30_links",
+            f"{fp_pages}|{fp_vocab}|t={link_threshold}",
+            lambda: link_best(
+                score_candidates(
+                    mention_candidates(mentions, vocab_triples),
+                    mentions,
+                    vocab_triples,
+                    threshold=link_threshold,
+                )
+            ),
+        )
+        f_triples = pool.submit(
+            runner.run_stage,
+            "50_canonical",
+            f"{fp_pages}|{fp_vocab}",
+            lambda: canonicalize_triples(
+                page_triples.unionByName(vocab_triples), config.max_iterations
+            ),
+        )
+        links = f_links.result()
+        triples = f_triples.result()
 
     # final graph table: pred-partitioned so triple-pattern scans prune
     graph_dir = str(Path(root) / "60_graph")

@@ -151,13 +151,31 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, 0.0, text_col).withColumnRenamed(
-        "jaccard", "jaccard_all"
+    # exact-jaccard verify ONLY for candidate pairs: join each side to its
+    # shingle set and intersect arrays. (Verifying via the inverted-index
+    # pair join would enumerate every pair sharing ANY shingle — O(Σ df²),
+    # which explodes on corpora with common shingles; candidates are few.)
+    sets = (
+        doc_shingles(docs, text_col)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    jac = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
     )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard_all") >= threshold)
-        .select("doc_a", "doc_b", F.col("jaccard_all").alias("jaccard"))
+        candidates.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -73,12 +73,21 @@ def _domain_for(i: int) -> str:
 
 
 def page_record(i: int) -> dict:
-    """Pure function row-id → page row (the determinism contract)."""
+    """Pure function row-id → page row (the determinism contract).
+
+    Body size ~1.5 KB (a few hundred tokens): realistic for extracted
+    web text, so per-page CPU (extraction, mention scan, tokenization)
+    dominates scheduling overhead — the regime the 10^12-document
+    north-star actually lives in."""
     url = f"https://{_domain_for(i)}/doc{i:06d}"
     ts = _EPOCH + dt.timedelta(seconds=37 * i)
     c_key, c_label, c_alts = VOCAB_CONCEPTS[i % len(VOCAB_CONCEPTS)]
     c2_key, c2_label, _ = VOCAB_CONCEPTS[(i // 3) % len(VOCAB_CONCEPTS)]
-    words = [_FILLER[(i + k) % len(_FILLER)] for k in range(12 + i % 9)]
+    n_words = 180 + (i % 90)
+    words = [_FILLER[(i + k) % len(_FILLER)] for k in range(n_words)]
+    # sprinkle paragraph breaks deterministically
+    for k in range(40, n_words, 47):
+        words[k] = words[k] + ".\n\n" if k + 1 < n_words else words[k]
     body = (
         f"# Page {i:06d}\n\n"
         f"The {c_label} lives near the {c2_label}. "
