@@ -62,16 +62,21 @@ def run_bench(sf_dir: str, cpus: int, pages_rows: int | None = None) -> dict:
         return out
 
     # --- kg_pipeline -------------------------------------------------------
-    pages = synthesize_pages(spark, pages_rows, partitions=cpus)
+    # input setup is untimed: the north rule's input is an existing pages
+    # table, so materialize the synthesized corpus to parquet first
     vocab_docs = spark.createDataFrame(
         [("v", "v", "ttl", _bench_vocab_ttl())], schema=DOCS
     )
     vocab = ok_triples(extract_triples(vocab_docs, cfg)).cache()
     vocab.count()
     with tempfile.TemporaryDirectory() as kg_root:
+        synthesize_pages(spark, pages_rows, partitions=cpus).write.parquet(
+            f"{kg_root}/pages"
+        )
+        pages = spark.read.parquet(f"{kg_root}/pages")
         out = timed(
             "kg_pipeline",
-            lambda: run_pipeline(spark, pages, vocab, kg_root, partitions=cpus),
+            lambda: run_pipeline(spark, pages, vocab, f"{kg_root}/kg", partitions=cpus),
         )
         n_triples = out["triples"].count()
     throughput["kg_triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
