@@ -149,3 +149,19 @@ def test_pipeline_end_to_end_and_resume(spark, pages, vocab, tmp_path):
     resume_s = time.time() - t0
     assert out2["triples"].count() == out["triples"].count()
     assert resume_s < 30, f"resume took {resume_s:.1f}s — checkpoints not reused?"
+
+
+def test_salted_repartition_bounds_skew(spark, pages):
+    from skosconverter_spark.kg.extract import salted_repartition
+
+    # the corpus is domain-skewed (test_pages_deterministic_and_skewed:
+    # the hottest domain holds ≥4x the coldest's rows); after salted
+    # url-hash repartitioning every partition must sit near the mean
+    salted = salted_repartition(pages, 8)
+    salt_sizes = [
+        r["count"]
+        for r in salted.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    ]
+    mean = sum(salt_sizes) / len(salt_sizes)
+    assert max(salt_sizes) <= 1.6 * mean, f"salted partitions skewed: {salt_sizes}"
+    assert min(salt_sizes) >= 0.4 * mean, f"salted partitions skewed: {salt_sizes}"
