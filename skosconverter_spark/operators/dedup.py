@@ -133,7 +133,14 @@ def minhash_lsh_pairs(
     slice matches exactly (bucket join per band, unioned, deduped).
     """
     r = k // bands
-    sig = minhash_signatures(docs, text_col, k).cache()
+    sh = doc_shingles(docs, text_col).localCheckpoint(eager=True)
+    aggs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "utf-8"))
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     band_rows = None
     for b in range(bands):
         cols = [F.col(f"h{b * r + j}") for j in range(r)]
@@ -155,8 +162,15 @@ def minhash_lsh_pairs(
     # shingle set and intersect arrays. (Verifying via the inverted-index
     # pair join would enumerate every pair sharing ANY shingle — O(Σ df²),
     # which explodes on corpora with common shingles; candidates are few.)
+    # Shingle sets are built only for docs that appear in some candidate
+    # pair (semi-join): candidates << corpus at scale.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     sets = (
-        doc_shingles(docs, text_col)
+        sh.join(cand_docs, "doc_id", "semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
     )
