@@ -168,9 +168,17 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Exact all-pairs — the VERIFIER; the scale path is the bucketed
+    variant below (same relationship as ngram_jaccard vs minhash_lsh)."""
     from skosconverter_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_emb(spark, sf_dir), 0.35)
+
+
+def q_embedding_neardup_bucketed(spark, sf_dir):
+    from skosconverter_spark.operators.similarity import embedding_neardup_bucketed
+
+    return embedding_neardup_bucketed(_emb(spark, sf_dir), 0.35, centroid_mod=23)
 
 
 # --------------------------------------------------------------------------
@@ -309,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -540,6 +549,26 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cos('a.embedding', 'b.embedding')} >= 0.35
 """
 
+_EMB_NEARDUP_BUCKETED_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 23 = 0
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+v AS (SELECT e.vec_id, e.embedding, a.centroid_id
+      FROM embeddings e JOIN assigned a USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos('a.embedding', 'b.embedding')}, 6) AS score
+FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE {_cos('a.embedding', 'b.embedding')} >= 0.35
+"""
+
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
 
 _TEXT_QUALITY_SQL = f"""
@@ -576,6 +605,39 @@ SELECT doc_id,
 FROM documents
 """
 
+
+def _langid_sql() -> str:
+    """The trigram-profile language id IS oracle-expressible: Python's
+    str.count counts non-overlapping occurrences left-to-right, exactly
+    what replace-based counting does; the kernel's argmax (sorted-lang
+    tie-break, strictly-greater-than-1 floor, None on empty) maps to a
+    ROW_NUMBER pick + CASE."""
+    from skosconverter_spark.functions.text import _LANG_PROFILES
+
+    per_lang = []
+    for lang in sorted(_LANG_PROFILES):
+        terms = " + ".join(
+            f"((length(t) - length(replace(t, '{g}', ''))) // 3)"
+            for g in _LANG_PROFILES[lang]
+        )
+        per_lang.append(f"SELECT doc_id, '{lang}' AS lang, {terms} AS score FROM t")
+    scores = "\nUNION ALL\n".join(per_lang)
+    return f"""
+WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+scores AS (
+{scores}
+),
+best AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scores
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL OR d.text = '' THEN NULL
+            WHEN b.score > 1 THEN b.lang ELSE 'und' END AS pred_lang
+FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -603,11 +665,16 @@ hist AS (
   FROM chars WHERE ch != '' GROUP BY 1, 2, 3, 4
 ),
 best AS (
-  SELECT media_id, kind, n_bytes, bucket, cnt,
+  SELECT media_id, bucket, cnt,
          ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY cnt DESC, bucket) AS rn
   FROM hist
 )
-SELECT media_id, kind, n_bytes, bucket + 1 AS argmax_bucket FROM best WHERE rn = 1
+-- left join back to the base table: an empty document has no hist rows,
+-- but the Spark side (fake_features over b'') still emits a row with
+-- argmax_bucket=1 (all-zero histogram, first max position)
+SELECT b.media_id, b.kind, b.n_bytes,
+       coalesce(best.bucket + 1, 1) AS argmax_bucket
+FROM b LEFT JOIN best ON best.media_id = b.media_id AND best.rn = 1
 """
 
 _EVENTS_WINDOW_SQL = """
@@ -667,10 +734,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
+        "embedding_neardup_bucketed": _EMB_NEARDUP_BUCKETED_SQL,
         "text_token_count": _TOKEN_COUNT_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
-        # text_langid: model-ish heuristic, not SQL-expressible → rows-only
+        "text_langid": _langid_sql(),
         "multimodal_byte_stats": _MULTIMODAL_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "events_window_agg": _EVENTS_WINDOW_SQL,

@@ -157,7 +157,11 @@ def canonicalize_triples(triples: DataFrame, max_iterations: int = 25) -> DataFr
     return (
         t.groupBy("subj", "pred", "obj", "obj_lang")
         .agg(
-            F.first("obj_is_literal").alias("obj_is_literal"),
+            # deterministic pick (min-seq discipline, D6) — see
+            # sources.parse_udf.ok_triples
+            F.min(F.struct("seq", "src_url", "obj_is_literal"))[
+                "obj_is_literal"
+            ].alias("obj_is_literal"),
             F.min("src_url").alias("src_url"),
             F.min("seq").alias("seq"),
         )

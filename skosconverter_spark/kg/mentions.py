@@ -40,11 +40,13 @@ def label_table(triples: DataFrame) -> DataFrame:
     lab = triples.filter(F.col("pred").isin(SKOS_PREF_LABEL, SKOS_ALT_LABEL)).select(
         F.col("subj").alias("uri"), F.col("obj").alias("label"), kind.alias("kind")
     )
-    # normalization mirrors normalize_surface: lowercase word tokens
+    # normalization mirrors normalize_surface EXACTLY: extract the same
+    # \w+(?:'\w+)? tokens the scanner uses (a split on [^\w']+ keeps edge
+    # apostrophes the scanner strips, producing trie entries no window
+    # can ever match). (?U) = Java's UNICODE_CHARACTER_CLASS, matching
+    # Python's unicode-aware \w.
     norm = F.array_join(
-        F.filter(
-            F.split(F.lower(F.col("label")), r"[^\w']+"), lambda t: t != F.lit("")
-        ),
+        F.regexp_extract_all(F.lower(F.col("label")), F.lit(r"(?U)\w+(?:'\w+)?"), 0),
         " ",
     )
     return lab.withColumn("norm_surface", norm).distinct()

@@ -147,14 +147,47 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_a, id_b, score) with cosine ≥ τ. Exact over all pairs — the
-    pair generation is a self-join the optimizer ranges over; at corpus
-    scale, gate through ivf_assign buckets first (same shape as the
-    LSH band join in dedup)."""
+    """(id_a, id_b, score) with cosine ≥ τ. EXACT over all n²/2 pairs —
+    a nested-loop self-join. This is the small-corpus VERIFIER (recall
+    oracle for the bucketed plan below), never the scale path: at corpus
+    scale use ``embedding_neardup_bucketed``."""
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
+
+
+def embedding_neardup_bucketed(
+    vectors: DataFrame,
+    threshold: float,
+    centroid_mod: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The scale path for embedding near-dup: gate pair generation
+    through IVF buckets (the embedding-space analogue of the LSH band
+    join in operators.dedup). Only bucket-mates are compared, so the
+    candidate count is Σ|bucket|² instead of n²/2 — an equi-join on
+    centroid_id that shuffles each vector once. Recall < 1 by design
+    (a near-dup pair straddling a bucket boundary is missed; more
+    probes / coarser centroids trade cost for recall);
+    ``embedding_neardup_pairs`` is the exact verifier and the recall
+    measurement is pinned in tests."""
+    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col)
+    v = vectors.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"), "centroid_id"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"), "centroid_id"
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("score", cosine(F.col("a_vec"), F.col("b_vec")))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score"))

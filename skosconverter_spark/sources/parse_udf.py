@@ -104,7 +104,13 @@ def ok_triples(extracted: DataFrame) -> DataFrame:
         extracted.filter(F.col("status") == "ok")
         .groupBy("subj", "pred", "obj", "obj_lang")
         .agg(
-            F.first("obj_is_literal").alias("obj_is_literal"),
+            # deterministic literal-ness pick (min-seq discipline, D6): if
+            # duplicate (s,p,o,lang) rows disagree — a literal and a URI
+            # object with the same string — the earliest insertion wins,
+            # never a nondeterministic first()
+            F.min(F.struct("seq", "src_url", "obj_is_literal"))[
+                "obj_is_literal"
+            ].alias("obj_is_literal"),
             F.min("src_url").alias("src_url"),
             F.min("seq").alias("seq"),
         )

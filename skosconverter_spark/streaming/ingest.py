@@ -52,8 +52,12 @@ def stream_triples(
 ) -> StreamingQuery:
     """Continuous pages → triples: each micro-batch runs the identical
     batch stages (extract_text → markdown triple extraction → dedup) and
-    appends to a parquet triples sink. Exactly-once via the streaming
-    checkpoint + idempotent batch ids."""
+    writes to a parquet triples sink. Exactly-once = streaming checkpoint
+    (no batch replayed after commit) + idempotent batch writes: each
+    micro-batch OVERWRITES its own ``batch_id=N`` subdirectory, so a
+    retry after a partial/failed write replaces the partial output
+    instead of appending duplicates. Readers ``spark.read.parquet(out_dir)``
+    and discover batch_id as a partition column."""
     cfg = config or EngineConfig()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -61,7 +65,7 @@ def stream_triples(
             "url", F.lit("md").alias("fmt"), F.col("text").alias("payload")
         )
         triples = ok_triples(extract_triples(docs, cfg))
-        triples.write.mode("append").parquet(out_dir)
+        triples.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         pages_stream.writeStream.foreachBatch(process)
