@@ -109,6 +109,11 @@ def convert_directory(
         per_doc = render_documents(
             document_rows_per_doc(extracted, cfg), fmt, vocab_col="vocab_id"
         )
+        # one row per input FILE (not per triple) — but a million-file
+        # batch would still overwhelm the driver loop, so guard it too
+        from skosconverter_spark.operators.render import guard_driver_sized
+
+        guard_driver_sized(per_doc, "convert_directory per-file render", 100_000)
         for r in per_doc.collect():
             name = Path(r.vocab_id).stem + _EXT[fmt]
             (out_root / name).write_text(r.payload, encoding="utf-8")

@@ -26,10 +26,20 @@ from skosconverter_spark.sources.turtle import serialize_turtle
 
 
 def export_turtle_text(
-    triples: DataFrame, prefixes: dict[str, str] | None = None
+    triples: DataFrame,
+    prefixes: dict[str, str] | None = None,
+    max_rows: int | None = None,
 ) -> tuple[str, dict]:
     """(turtle_text, summary) — summary mirrors the reference's logged
-    counts (:1567-1573): triples, concepts, schemes."""
+    counts (:1567-1573): triples, concepts, schemes. Guarded: one Turtle
+    document is driver-sized by contract; a corpus-sized graph must go
+    through write_graph_table instead."""
+    from skosconverter_spark.operators.render import MAX_DRIVER_ROWS, guard_driver_sized
+
+    guard_driver_sized(
+        triples, "export_turtle_text",
+        MAX_DRIVER_ROWS if max_rows is None else max_rows,
+    )
     rows = triples.select("subj", "pred", "obj", "obj_is_literal", "obj_lang").collect()
     ts = [Triple(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang) for r in rows]
     concepts = {t.subj for t in ts if t.pred == RDF_TYPE and t.obj == SKOS_CONCEPT}

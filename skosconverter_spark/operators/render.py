@@ -44,7 +44,28 @@ _DOC_ROWS_SCHEMA = (
 )
 
 
-def collect_triples(triples: DataFrame) -> list[tuple]:
+# Driver-sized paths collect a whole table to one machine. A vocabulary
+# is driver-sized by construction; a pages/triples CORPUS is not. The
+# guard turns that contract into a loud failure instead of a driver OOM.
+MAX_DRIVER_ROWS = 5_000_000
+
+
+def guard_driver_sized(df: DataFrame, what: str, max_rows: int = MAX_DRIVER_ROWS) -> None:
+    """Fail fast when a driver-sized path is misused on a corpus-sized
+    table. limit(max_rows+1).count() early-exits the scan — it never
+    moves max_rows rows anywhere, it just proves whether row max_rows+1
+    exists. Set max_rows=0 to disable (caller takes responsibility)."""
+    if max_rows and df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{what} materializes rows on the driver and is gated at "
+            f"{max_rows} rows; this input exceeds it. Use the distributed "
+            "sink (render_documents / write_graph_table) for corpus-sized "
+            "tables, or raise max_rows explicitly."
+        )
+
+
+def collect_triples(triples: DataFrame, max_rows: int = MAX_DRIVER_ROWS) -> list[tuple]:
+    guard_driver_sized(triples, "collect_triples", max_rows)
     return [
         (r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang, r.seq)
         for r in triples.select(
@@ -381,13 +402,17 @@ def render_documents(
     )
 
 
-def render_document_text(doc_rows: DataFrame, fmt: str) -> str:
+def render_document_text(
+    doc_rows: DataFrame, fmt: str, max_rows: int = MAX_DRIVER_ROWS
+) -> str:
     """Single-vocabulary convenience: the whole corpus as one document.
 
     A single output document is driver-sized by definition (the
     reference writes ONE file), so this collects the row table via Arrow
     and runs the kernel driver-side — skipping the one-group shuffle the
-    grouped-map path would force."""
+    grouped-map path would force. Guarded: misuse on a corpus-sized row
+    table fails loudly instead of OOMing the driver."""
+    guard_driver_sized(doc_rows, "render_document_text", max_rows)
     pdf = doc_rows.toPandas()
     pdf = pdf.sort_values("sort_path", key=lambda s: s.map(tuple))
     for c in ("alt_labels", "same_as", "related"):

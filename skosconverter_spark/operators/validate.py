@@ -38,10 +38,6 @@ from skosconverter_spark.plans import views
 from skosconverter_spark.plans.hierarchy import scheme_table, top_concept_slots
 
 
-def _simple_labels(triples: DataFrame, uris: DataFrame) -> DataFrame:
-    return views.simple_label(triples, uris)
-
-
 def duplicate_uris(triples: DataFrame) -> DataFrame:
     """A1 (:129-139): URIs typed more than once across concepts+schemes.
 
@@ -330,28 +326,87 @@ def hierarchy_depths(triples: DataFrame, config: EngineConfig) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _bounded(df: DataFrame, k: int) -> tuple[list, int]:
+    """First k rows of an ordered check + the TOTAL count, without ever
+    collecting the full table: limit(k+1) probes whether truncation will
+    happen, and only then a distributed count() computes the '... and N
+    more' number. A pathological corpus (millions of unlabeled concepts)
+    moves k+1 rows to the driver, not millions."""
+    rows = df.limit(k + 1).collect()
+    if len(rows) > k:
+        return rows[:k], df.count()
+    return rows, len(rows)
+
+
+def _labels_for(triples: DataFrame, uris: set[str]) -> dict[str, str]:
+    """simple_label restricted to the uris a report line will actually
+    print — a broadcast semi-filter BEFORE the label aggregation, so the
+    driver never holds a label for every concept in the vocabulary."""
+    if not uris:
+        return {}
+    uris_df = triples.sparkSession.createDataFrame(
+        [(u,) for u in sorted(uris)], "uri string"
+    )
+    lab = views.labels(triples).join(F.broadcast(uris_df), "uri")
+    picked = lab.groupBy("uri").agg(
+        F.min(F.struct("kind_rank", "seq", "label"))["label"].alias("label")
+    )
+    return {r.uri: r.label for r in picked.collect()}
+
+
 def validation_report(
     triples: DataFrame, config: EngineConfig
 ) -> tuple[list[str], list[str]]:
     """Issues/warnings in the reference's check order and string formats
-    (validate_all :104-127). Collected to the driver: a validation
-    report is human-sized output by construction; the underlying checks
-    remain distributed DataFrames usable standalone."""
+    (validate_all :104-127). Every truncated check is bounded
+    server-side (limit(k+1) + count — never a full collect) and the
+    label lookup covers only the uris the report will print, so the
+    report stays driver-sized even on pathological corpora; the
+    underlying checks remain distributed DataFrames usable standalone."""
     issues: list[str] = []
     warnings: list[str] = []
 
-    all_uris = (
-        views.concepts(triples)
-        .select("uri")
-        .unionByName(views.schemes(triples).select("uri"))
-        .unionByName(
-            top_concept_slots(triples).select(F.col("concept").alias("uri"))
-        )
-        .distinct()
-    )
-    slabel = {
-        r.uri: r.label for r in views.simple_label(triples, all_uris).collect()
+    # ---- run all checks first (bounded collects), then resolve labels ----
+    dup = duplicate_uris(triples).orderBy("seq").collect()
+    ml_rows, ml_total = _bounded(missing_labels(triples).orderBy("seq"), 5)
+    cycles = circular_references(triples, config).orderBy("seq").collect()
+    mpl = multiple_pref_labels(triples).orderBy("seq").collect()
+    scheme_labels = {
+        r.scheme: r.scheme_label for r in scheme_table(triples, config).collect()
     }
+    tci = top_concept_inconsistencies(triples).orderBy("seq").collect()
+    selfr = self_references(triples).orderBy("seq", "kind").collect()
+    cws_rows, cws_total = _bounded(
+        concepts_without_schemes(triples).orderBy("seq"), 10
+    )
+    dl_rows, dl_total = _bounded(duplicate_labels(triples).orderBy("seq"), 5)
+    poly = polyhierarchy(triples).orderBy("seq").collect()
+    orph_rows, orph_total = _bounded(validator_orphans(triples).orderBy("seq"), 10)
+    deep = (
+        hierarchy_depths(triples, config)
+        .filter(F.col("depth") > 7)
+        .orderBy("seq")
+        .collect()
+    )
+
+    needed: set[str] = set()
+    for r in cycles:
+        needed.update(r.cycle)
+    needed.update(r.uri for r in mpl)
+    for r in tci:
+        needed.update(r.concepts[:3])
+        if r.scheme not in scheme_labels:
+            needed.add(r.scheme)
+    needed.update(r.uri for r in selfr)
+    needed.update(r.uri for r in cws_rows)
+    for r in dl_rows:
+        needed.update(r.uris)
+    for r in poly:
+        needed.add(r.uri)
+        needed.update(r.parents)
+    needed.update(r.uri for r in orph_rows)
+    needed.update(r.root for r in deep)
+    slabel = _labels_for(triples, needed)
 
     def lab(uri: str) -> str:
         if uri in slabel:
@@ -359,23 +414,22 @@ def validation_report(
         return str(uri).split("/")[-1].split("#")[-1]
 
     # 1. duplicate URIs (:129-139)
-    for r in duplicate_uris(triples).orderBy("seq").collect():
+    for r in dup:
         issues.append(f"Duplicate URI found {r['count']} times: {r.uri}")
 
     # 2. missing labels (:141-155)
-    ml = [r.uri for r in missing_labels(triples).orderBy("seq").collect()]
-    for uri in ml[:5]:
-        issues.append(f"Concept {uri} has no prefLabel or rdfs:label")
-    if len(ml) > 5:
-        issues.append(f"... and {len(ml) - 5} more concepts without labels")
+    for r in ml_rows:
+        issues.append(f"Concept {r.uri} has no prefLabel or rdfs:label")
+    if ml_total > 5:
+        issues.append(f"... and {ml_total - 5} more concepts without labels")
 
     # 3. circular references (:157-187)
-    for r in circular_references(triples, config).orderBy("seq").collect():
+    for r in cycles:
         path_labels = [lab(u) for u in r.cycle]
         issues.append(f"Circular reference detected: {' -> '.join(path_labels)}")
 
     # 4. multiple prefLabels per language (:189-207)
-    for r in multiple_pref_labels(triples).orderBy("seq").collect():
+    for r in mpl:
         lang_desc = f" (language: {r.lang})" if r.lang != "no-lang" else ""
         issues.append(
             f"Concept '{lab(r.uri)}' has {len(r.labels)} preferred "
@@ -383,12 +437,9 @@ def validation_report(
         )
 
     # 5. top-concept consistency (:209-238)
-    scheme_labels = {
-        r.scheme: r.scheme_label for r in scheme_table(triples, config).collect()
-    }
-    for r in top_concept_inconsistencies(triples).orderBy("seq").collect():
-        concept_labels = [lab(c) for c in r.concepts]
-        shown = ", ".join(concept_labels[:3]) + ("..." if len(concept_labels) > 3 else "")
+    for r in tci:
+        concept_labels = [lab(c) for c in r.concepts[:3]]
+        shown = ", ".join(concept_labels) + ("..." if len(r.concepts) > 3 else "")
         sl = scheme_labels.get(r.scheme, lab(r.scheme))
         if r.direction == "missing_top_of":
             warnings.append(
@@ -402,32 +453,29 @@ def validation_report(
             )
 
     # 6. self references (:240-253)
-    for r in self_references(triples).orderBy("seq", "kind").collect():
+    for r in selfr:
         issues.append(
             f"Concept '{lab(r.uri)}' has itself as {r.kind} concept"
         )
 
     # 7. concepts without schemes (:255-270)
-    ws = [lab(r.uri) for r in concepts_without_schemes(triples).orderBy("seq").collect()]
-    if ws:
+    if cws_rows:
         warnings.append("Concepts not associated with any concept scheme:")
-        for orphan in ws[:10]:
-            warnings.append(f"  - {orphan}")
-        if len(ws) > 10:
-            warnings.append(f"  ... and {len(ws) - 10} more")
+        for r in cws_rows:
+            warnings.append(f"  - {lab(r.uri)}")
+        if cws_total > 10:
+            warnings.append(f"  ... and {cws_total - 10} more")
 
     # 8. duplicate labels (:272-291)
-    dl = duplicate_labels(triples).orderBy("seq").collect()
-    if dl:
+    if dl_rows:
         warnings.append("Duplicate preferred labels found:")
-        for r in dl[:5]:
+        for r in dl_rows:
             used_by = ", ".join(lab(u) for u in r.uris)
             warnings.append(f"  - '{r.label}' used by: {used_by}")
-        if len(dl) > 5:
-            warnings.append(f"  ... and {len(dl) - 5} more duplicate labels")
+        if dl_total > 5:
+            warnings.append(f"  ... and {dl_total - 5} more duplicate labels")
 
     # 9. polyhierarchy (:293-309)
-    poly = polyhierarchy(triples).orderBy("seq").collect()
     if poly:
         warnings.append("Concepts with multiple broader concepts (polyhierarchy):")
         for r in poly:
@@ -437,21 +485,14 @@ def validation_report(
             )
 
     # 10. orphan concepts (:311-338)
-    orph = [lab(r.uri) for r in validator_orphans(triples).orderBy("seq").collect()]
-    if orph:
+    if orph_rows:
         warnings.append("Orphan concepts (no broader concept and not top concepts):")
-        for o in orph[:10]:
-            warnings.append(f"  - {o}")
-        if len(orph) > 10:
-            warnings.append(f"  ... and {len(orph) - 10} more")
+        for r in orph_rows:
+            warnings.append(f"  - {lab(r.uri)}")
+        if orph_total > 10:
+            warnings.append(f"  ... and {orph_total - 10} more")
 
     # 11. hierarchy depth (:340-374)
-    deep = (
-        hierarchy_depths(triples, config)
-        .filter(F.col("depth") > 7)
-        .orderBy("seq")
-        .collect()
-    )
     if deep:
         warnings.append("Very deep hierarchies detected (>7 levels):")
         for r in deep:

@@ -76,3 +76,31 @@ def test_notion_to_skos_api(spark):
     triples, errors = notion_to_skos(docs, EngineConfig(bug_compat=True))
     assert errors.count() == 0
     assert triples.count() > 0
+
+
+def test_driver_size_guards_trip(spark):
+    """render.py:guard_driver_sized — misusing a driver-sized path on a
+    corpus-sized table fails loudly instead of OOMing the driver."""
+    from skosconverter_spark.operators.export import export_turtle_text
+    from skosconverter_spark.operators.render import (
+        collect_triples,
+        guard_driver_sized,
+        render_document_text,
+    )
+
+    big = spark.range(50).selectExpr(
+        "cast(id as string) subj", "'p' pred", "'o' obj",
+        "true obj_is_literal", "cast(null as string) obj_lang",
+        "'u' src_url", "id seq",
+    )
+    with pytest.raises(ValueError, match="gated at 10 rows"):
+        guard_driver_sized(big, "test", 10)
+    with pytest.raises(ValueError):
+        collect_triples(big, max_rows=10)
+    with pytest.raises(ValueError):
+        export_turtle_text(big, max_rows=10)
+    # under the gate: passes through
+    assert len(collect_triples(big.limit(5), max_rows=10)) == 5
+    # render path: the guard fires before any row is pulled to the driver
+    with pytest.raises(ValueError):
+        render_document_text(big.selectExpr("subj"), "csv", max_rows=10)
