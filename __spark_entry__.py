@@ -41,8 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from skosconverter_spark.operators.render import document_rows
 
     triples = triples_from_tpch(spark, "/root/testdata/sf0.001")
-    return document_rows(triples, EngineConfig()).select(
-        "uri", "label", "level", "section", "parent_label", "scheme_label"
+    return (
+        document_rows(triples, EngineConfig())
+        .filter(F.col("origin") != "ghost")  # markdown-only separator slots
+        .select("uri", "label", "level", "section", "parent_label", "scheme_label")
     )
 
 
@@ -55,7 +57,9 @@ def q_skos_levels(spark, sf_dir):
     from skosconverter_spark.plans.hierarchy import dfs_rows
 
     rows = dfs_rows(triples_from_tpch(spark, sf_dir), EngineConfig())
-    return rows.select("uri", "label", "level", "section")
+    return rows.filter(F.col("origin") != "ghost").select(
+        "uri", "label", "level", "section"
+    )
 
 
 def q_skos_closure(spark, sf_dir):
@@ -179,6 +183,62 @@ def q_embedding_neardup_bucketed(spark, sf_dir):
     from skosconverter_spark.operators.similarity import embedding_neardup_bucketed
 
     return embedding_neardup_bucketed(_emb(spark, sf_dir), 0.35, centroid_mod=23)
+
+
+# --------------------------------------------------------------------------
+# KG entity linking (mention scan → candidates → TF-IDF scoring → best)
+# --------------------------------------------------------------------------
+
+# inline vocabulary over surfaces that occur in the documents corpus;
+# 'spark' is deliberately ambiguous (prefLabel of :spark, altLabel of
+# :sparkle) so the context term and the min-uri tie-break are exercised
+_KG_VOCAB = [
+    ("urn:kg:join", "pref", "join"),
+    ("urn:kg:join", "alt", "merge join"),
+    ("urn:kg:spark", "pref", "spark"),
+    ("urn:kg:sparkle", "pref", "sparkle"),
+    ("urn:kg:sparkle", "alt", "spark"),
+    ("urn:kg:window", "pref", "window"),
+    ("urn:kg:stream", "pref", "stream"),
+    ("urn:kg:streamwin", "pref", "streamwin"),
+    ("urn:kg:streamwin", "alt", "stream window"),
+]
+
+_PREF = "http://www.w3.org/2004/02/skos/core#prefLabel"
+_ALT = "http://www.w3.org/2004/02/skos/core#altLabel"
+
+
+def _kg_vocab_triples(spark):
+    rows = [
+        (uri, _PREF if kind == "pref" else _ALT, label, True, None, "vocab", i)
+        for i, (uri, kind, label) in enumerate(_KG_VOCAB)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, src_url string, seq long",
+    )
+
+
+def q_kg_links(spark, sf_dir):
+    """Full linking pipeline over the documents corpus, aggregated to
+    (url, surface, winning concept, mention count, score) — begin/end
+    offsets collapse out because score is a function of (url, surface,
+    uri), which is what makes the stage oracle-expressible."""
+    from skosconverter_spark.kg.linking import link_best, score_candidates
+    from skosconverter_spark.kg.mentions import mention_candidates, scan_mentions
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    triples = _kg_vocab_triples(spark)
+    mentions = scan_mentions(pages, triples).localCheckpoint(eager=True)
+    cands = mention_candidates(mentions, triples)
+    best = link_best(score_candidates(cands, mentions, triples, threshold=0.25))
+    return best.groupBy("url", "norm_surface", "concept_uri").agg(
+        F.count("*").alias("n_mentions"),
+        F.round(F.min("score"), 6).alias("score"),
+    ).withColumnRenamed("norm_surface", "surface")
 
 
 # --------------------------------------------------------------------------
@@ -310,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skos_best_label": q_skos_best_label,
         "skos_orphans": q_skos_orphans,
         "skos_polyhierarchy": q_skos_polyhierarchy,
+        "kg_links": q_kg_links,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -606,6 +667,70 @@ FROM documents
 """
 
 
+def _kg_links_sql() -> str:
+    """Entity linking re-derived in SQL. All candidate surfaces are exact
+    dictionary hits, so surface_jaccard is identically 1.0 (max over the
+    concept's own labels always includes the matched one) and the score
+    reduces to 0.5 + 0.5*context; the context term is the mention-based
+    TF-IDF cosine of kg.linking.mention_context_scores, reproduced here
+    with the same ln weights, norms and zero-denominator guard."""
+    surfaces = sorted({label for _, _, label in _KG_VOCAB})
+    uni = [s for s in surfaces if " " not in s]
+    bi = [s for s in surfaces if " " in s]
+    cand = sorted({(label, uri) for uri, _, label in _KG_VOCAB})
+    uni_list = ", ".join(f"'{s}'" for s in uni)
+    bi_list = ", ".join(f"'{s}'" for s in bi)
+    cand_values = ", ".join(f"('{s}', '{u}')" for s, u in cand)
+    return f"""
+WITH pages AS (SELECT 'doc:' || doc_id AS url, lower(text) AS t FROM documents),
+toks AS (SELECT url, regexp_extract_all(t, '\\w+(?:''\\w+)?') AS ts FROM pages),
+uni AS (
+  SELECT url, tok, count(*) AS tf FROM (
+    SELECT url, unnest(ts) AS tok FROM toks) u
+  WHERE tok IN ({uni_list}) GROUP BY url, tok
+),
+bi AS (
+  SELECT url, tok, count(*) AS tf FROM (
+    SELECT url, ts[i] || ' ' || ts[i+1] AS tok
+    FROM toks CROSS JOIN UNNEST(range(1, len(ts))) AS r(i)) b
+  WHERE tok IN ({bi_list}) GROUP BY url, tok
+),
+tf AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+np AS (SELECT count(DISTINCT url) AS n_pages FROM tf),
+dfs AS (SELECT tok, count(DISTINCT url) AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT tf.url, tf.tok, tf.tf, tf.tf * ln((np.n_pages + 1) / (dfs.df + 1.0)) AS w
+  FROM tf JOIN dfs USING (tok) CROSS JOIN np
+),
+pn AS (SELECT url, sqrt(sum(w*w)) AS page_norm FROM w GROUP BY url),
+cand(surface, uri) AS (VALUES {cand_values}),
+pnorm AS (SELECT uri, sqrt(count(*)::DOUBLE) AS prof_norm FROM cand GROUP BY uri),
+dots AS (
+  SELECT w.url, c.uri, sum(w.w) AS dot
+  FROM w JOIN cand c ON c.surface = w.tok GROUP BY 1, 2
+),
+ctx AS (
+  SELECT d.url, d.uri,
+         d.dot / CASE WHEN pn.page_norm * pm.prof_norm > 0
+                      THEN pn.page_norm * pm.prof_norm ELSE 1.0 END AS context
+  FROM dots d JOIN pn USING (url) JOIN pnorm pm USING (uri)
+),
+scored AS (
+  SELECT tf.url, tf.tok AS surface, c.uri, tf.tf,
+         0.5 + 0.5 * coalesce(ctx.context, 0.0) AS score
+  FROM tf JOIN cand c ON c.surface = tf.tok
+  LEFT JOIN ctx ON ctx.url = tf.url AND ctx.uri = c.uri
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url, surface ORDER BY score DESC, uri) AS rn
+  FROM scored
+)
+SELECT url, surface, uri AS concept_uri, tf AS n_mentions, round(score, 6) AS score
+FROM best WHERE rn = 1 AND score >= 0.25
+"""
+
+
 def _langid_sql() -> str:
     """The trigram-profile language id IS oracle-expressible: Python's
     str.count counts non-overlapping occurrences left-to-right, exactly
@@ -727,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "skos_best_label": _SKOS_BEST_LABEL_SQL,
         "skos_orphans": _SKOS_ORPHANS_SQL,
         "skos_polyhierarchy": _SKOS_POLY_SQL,
+        "kg_links": _kg_links_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": "WITH " + _JACCARD_PAIRS_SQL.format(tau=0.8),
         "dedup_minhash_lsh": _minhash_sql(0.8),

@@ -5,12 +5,17 @@ extractor is a pure function of the html bytes, so the per-url
 byte-identical invariant (BASELINE.json input_hint) holds across runs,
 partitionings and cluster sizes — enforced by a sha256-manifest pytest.
 
-The extractor intentionally handles exactly the corpus contract
-(sources.pages): a single <body> whose content is HTML-escaped text.
-Real-world HTML needs a real parser; that dependency is not in this
-container, so the decode path beyond the contract raises
-NotImplementedError behind the EXTRACTOR_VERSION gate rather than
-guessing (multimodal stance: plumbing real, exotic decode stubbed).
+Two extractor versions behind EXTRACTOR_VERSION (results are versioned
+because re-extraction must be reproducible per url):
+
+- v1: exactly the corpus contract (sources.pages) — a single literal
+  ``<body>`` whose content is HTML-escaped text; anything else raises
+  NotImplementedError rather than guessing.
+- v2 (default): a dependency-free real-HTML tag stripper (public
+  knowledge, no parser library): comments/script/style/noscript
+  dropped with their content, <body> scoped when present, block-level
+  tags become newlines, inline tags vanish, entities unescaped. On the
+  corpus contract v2 is byte-identical to v1 (pinned by test).
 """
 
 from __future__ import annotations
@@ -23,26 +28,71 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-EXTRACTOR_VERSION = "1"
+EXTRACTOR_VERSION = "2"
 
 _BODY_RE = re.compile(rb"<body>(.*)</body>", re.DOTALL)
 
 
-def extract_text_bytes(html: bytes | None) -> str | None:
-    """Pure kernel: html bytes → extracted text (None-safe)."""
+def extract_text_bytes_v1(html: bytes | None) -> str | None:
+    """v1 kernel: the synthesized-corpus contract only (None-safe)."""
     if html is None:
         return None
     m = _BODY_RE.search(html)
     if m is None:
         raise NotImplementedError(
-            "extractor v%s only supports the synthesized corpus contract "
-            "(single <body> of escaped text); real-HTML decoding requires "
-            "an HTML parser not present in this environment" % EXTRACTOR_VERSION
+            "extractor v1 only supports the synthesized corpus contract "
+            "(single <body> of escaped text); use EXTRACTOR_VERSION '2' "
+            "for real HTML"
         )
     return html_mod.unescape(m.group(1).decode("utf-8"))
 
 
-def extract_text(pages: DataFrame) -> DataFrame:
+# v2: dependency-free tag stripping. Element names that imply a line
+# break when opened or closed (HTML block-level elements + <br>).
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|tr|td|th|table|thead|tbody|section|article|aside|"
+    "header|footer|nav|main|form|fieldset|blockquote|pre|hr|h[1-6]|dl|dt|dd"
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_DROP_ELEMENT_RE = re.compile(
+    r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", re.DOTALL | re.IGNORECASE
+)
+_BODY_V2_RE = re.compile(r"<body\b[^>]*>(.*?)(?:</body\s*>|\Z)", re.DOTALL | re.IGNORECASE)
+_BLOCK_TAG_RE = re.compile(rf"</?(?:{_BLOCK_TAGS})\b[^>]*/?>", re.IGNORECASE)
+_ANY_TAG_RE = re.compile(r"</?[a-zA-Z][^>]*>|<!DOCTYPE[^>]*>", re.IGNORECASE)
+
+
+def extract_text_bytes_v2(html: bytes | None) -> str | None:
+    """v2 kernel: general tag-stripping extraction (None-safe).
+
+    Deterministic pure function of the bytes: decode (utf-8, replace),
+    drop comments and script/style/noscript subtrees, scope to <body>
+    when present, block tags → newline, remaining tags → '', unescape
+    entities. No whitespace collapsing beyond tag replacement, so the
+    corpus contract (escaped text inside <body>) round-trips
+    byte-identically with v1."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub("", s)
+    s = _DROP_ELEMENT_RE.sub("", s)
+    m = _BODY_V2_RE.search(s)
+    if m is not None:
+        s = m.group(1)
+    s = _BLOCK_TAG_RE.sub("\n", s)
+    s = _ANY_TAG_RE.sub("", s)
+    return html_mod.unescape(s)
+
+
+_KERNELS = {"1": extract_text_bytes_v1, "2": extract_text_bytes_v2}
+
+
+def extract_text_bytes(html: bytes | None, version: str = EXTRACTOR_VERSION) -> str | None:
+    """Pure kernel: html bytes → extracted text (None-safe, versioned)."""
+    return _KERNELS[version](html)
+
+
+def extract_text(pages: DataFrame, version: str = EXTRACTOR_VERSION) -> DataFrame:
     """pages → pages with ``text`` filled where null.
 
     Rows that already carry text keep it byte-identically (the
@@ -50,6 +100,7 @@ def extract_text(pages: DataFrame) -> DataFrame:
     One Python call per Arrow batch.
     """
     cols = pages.columns
+    kernel = _KERNELS[version]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -57,7 +108,7 @@ def extract_text(pages: DataFrame) -> DataFrame:
             if need.any():
                 pdf = pdf.copy()
                 pdf.loc[need, "text"] = [
-                    extract_text_bytes(h) for h in pdf.loc[need, "html"]
+                    kernel(h) for h in pdf.loc[need, "html"]
                 ]
             yield pdf
 

@@ -39,8 +39,9 @@ CSV_FIELDS = [
 _DOC_ROWS_SCHEMA = (
     "sort_path array<string>, section string, origin string, uri string, "
     "label string, level int, parent_label string, scheme_label string, "
-    "top_idx int, definition string, alt_labels array<string>, "
-    "notation string, same_as array<string>, related array<string>"
+    "top_idx int, has_children boolean, definition string, "
+    "alt_labels array<string>, notation string, same_as array<string>, "
+    "related array<string>"
 )
 
 
@@ -127,7 +128,10 @@ def _md_level(row) -> int:
 
 
 def _is_concept(row) -> bool:
-    return row["section"] in ("top", "orphan", "unassigned")
+    return (
+        row["section"] in ("top", "orphan", "unassigned")
+        and row["origin"] != "ghost"
+    )
 
 
 def render_csv_rows(rows: list[dict]) -> str:
@@ -139,6 +143,8 @@ def render_csv_rows(rows: list[dict]) -> str:
     writer = csv.DictWriter(buf, fieldnames=CSV_FIELDS)
     writer.writeheader()
     for r in rows:
+        if r["origin"] == "ghost":  # markdown-only separator slots
+            continue
         sec = r["section"]
         if sec == "scheme":
             rec = {
@@ -209,11 +215,18 @@ def _md_concept_block(out: list[str], r: dict, level: int) -> None:
 
 def render_markdown_rows(rows: list[dict]) -> str:
     """to_notion_markdown (:890-1041): '\\n'.join of items; '' separator
-    before every non-first top concept of a scheme and before every
-    orphan; '' before a concept's children."""
+    before every top slot at index > 0 — INCLUDING slots whose concept
+    was already processed (ghost rows, :1017-1019) — and before every
+    orphan; '' after a concept's block whenever it has tree children
+    (:911-915), even when every child was emitted elsewhere."""
     out: list[str] = []
-    concept_rows = [r for r in rows if _is_concept(r)]
-    for i, r in enumerate(concept_rows):
+    for r in rows:
+        if r["origin"] == "ghost":
+            # processed top slot at i>0: separator only, no block
+            out.append("")
+            continue
+        if not _is_concept(r):
+            continue
         level = _md_level(r)
         if r["origin"] == "anchor":
             if r["section"] == "top":
@@ -222,12 +235,7 @@ def render_markdown_rows(rows: list[dict]) -> str:
             else:  # orphan / unassigned: '' always precedes (:1025, :1034)
                 out.append("")
         _md_concept_block(out, r, level)
-        has_children = (
-            i + 1 < len(concept_rows)
-            and concept_rows[i + 1]["origin"] == "child"
-            and _md_level(concept_rows[i + 1]) == level + 1
-        )
-        if has_children:
+        if r["has_children"]:
             out.append("")
     return "\n".join(out)
 
@@ -306,6 +314,8 @@ def render_json_rows(rows: list[dict]) -> str:
             concepts_flat.append(d)
 
     for r in rows:
+        if r["origin"] == "ghost":  # markdown-only separator slots
+            continue
         sec = r["section"]
         if sec == "scheme":
             pop_to(1)
@@ -368,8 +378,8 @@ _KERNELS = {
 
 _ROW_COLS = [
     "section", "origin", "uri", "label", "level", "parent_label",
-    "scheme_label", "top_idx", "definition", "alt_labels", "notation",
-    "same_as", "related",
+    "scheme_label", "top_idx", "has_children", "definition", "alt_labels",
+    "notation", "same_as", "related",
 ]
 
 

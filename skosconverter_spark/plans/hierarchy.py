@@ -181,9 +181,16 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
 
     section ∈ scheme | top | orph_hdr | orphan | unass_hdr | unassigned —
     header/scheme rows are synthetic (uri null for headers); ``origin``
-    is 'anchor' for rows emitted at their section slot and 'child' for
-    rows emitted under a tree parent; ``level`` is the CSV level
-    (markdown/xml/json levels derive from it per section).
+    is 'anchor' for rows emitted at their section slot, 'child' for rows
+    emitted under a tree parent, and 'ghost' for a top slot whose concept
+    was already emitted elsewhere (the reference still appends its ''
+    separator at that slot when i > 0 — to_notion_markdown :1017-1019 —
+    so the renderer needs the slot even though no block is emitted);
+    ``level`` is the CSV level (markdown/xml/json levels derive from it
+    per section). ``has_children`` mirrors ``concept in hierarchy`` in
+    the reference (:911-915): true iff the node has tree children after
+    the one-parent dedup, whether or not those children were emitted
+    under it — it drives the markdown pre-children separator.
 
     Algorithm (O3/R3): seed candidate paths at every anchor slot, then
     iterate path(child) = path(parent) + [label, uri] keeping the MIN
@@ -350,7 +357,36 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
             if improved == 0:
                 break
 
-    concept_rows = best
+    # downstream consumes the row table through joins (has_children,
+    # ghost winner lookup) — on the BFS fast path `best` is a deep union
+    # of chained join frontiers, and planning joins over that tree (let
+    # alone referencing it twice) explodes AQE stage creation; one eager
+    # lineage cut keeps every following join trivially plannable
+    best = best.localCheckpoint(eager=True)
+
+    # has_children = node is a parent in the deduped hierarchy (the
+    # reference's `concept in hierarchy`), independent of emission
+    parents = edges_raw.select(F.col("parent").alias("uri")).distinct()
+    concept_rows = (
+        best.join(parents.withColumn("hc", F.lit(True)), "uri", "left")
+        .withColumn("has_children", F.coalesce(F.col("hc"), F.lit(False)))
+        .drop("hc")
+    )
+
+    # ghost separator slots: a top slot at index i>0 whose concept's
+    # winning (min) path is a DIFFERENT slot — the reference appends ''
+    # there and skips the block (processed-set semantics)
+    ghost_rows = (
+        top_anchor.filter(F.col("top_idx") > 0)
+        .join(best.select("uri", F.col("sort_path").alias("win_path")), "uri")
+        .filter(F.col("sort_path") != F.col("win_path"))
+        .select(
+            "uri", "sort_path", "section",
+            F.lit("ghost").alias("origin"),
+            "level", "parent_label", "scheme_label", "top_idx", "label",
+            F.lit(False).alias("has_children"),
+        )
+    )
 
     # ---- synthetic scheme / section-header rows -----------------------------
     scheme_rows = schemes_df.select(
@@ -363,6 +399,7 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
         "scheme_label",
         F.lit(-1).alias("top_idx"),
         F.col("scheme_label").alias("label"),
+        F.lit(False).alias("has_children"),
     )
     orph_hdr = (
         orphans.filter(F.col("scheme").isNotNull())
@@ -381,6 +418,7 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
             F.concat(
                 F.lit("[Other Concepts in "), F.col("scheme_label"), F.lit("]")
             ).alias("label"),
+            F.lit(False).alias("has_children"),
         )
     )
     unass_hdr = (
@@ -398,14 +436,16 @@ def dfs_rows(triples: DataFrame, config: EngineConfig) -> DataFrame:
             F.lit("").alias("scheme_label"),
             F.lit(-1).alias("top_idx"),
             F.lit("[UNASSIGNED CONCEPTS]").alias("label"),
+            F.lit(False).alias("has_children"),
         )
     )
 
     out = (
         concept_rows.select(
             "uri", "sort_path", "section", "origin", "level",
-            "parent_label", "scheme_label", "top_idx", "label",
+            "parent_label", "scheme_label", "top_idx", "label", "has_children",
         )
+        .unionByName(ghost_rows)
         .unionByName(scheme_rows)
         .unionByName(orph_hdr)
         .unionByName(unass_hdr)

@@ -151,7 +151,26 @@ def dfs_rows_local(triple_rows, config: EngineConfig) -> list[dict]:
                 "sort_path": path(), "section": section, "origin": origin,
                 "uri": uri, "label": best_label(uri), "level": level,
                 "parent_label": parent_label, "scheme_label": scheme_label,
-                "top_idx": top_idx, **m,
+                "top_idx": top_idx,
+                # `concept in hierarchy` (skos_converter.py:911): drives
+                # the markdown pre-children separator even when every
+                # child was already processed elsewhere
+                "has_children": bool(children_of.get(uri)),
+                **m,
+            }
+        )
+
+    def emit_ghost(uri, s_label, top_idx):
+        # a processed top slot at i>0: the reference appends '' and skips
+        # the block (:1017-1019) — represent the slot as a ghost row
+        rows.append(
+            {
+                "sort_path": path(), "section": "top", "origin": "ghost",
+                "uri": uri, "label": best_label(uri), "level": 1,
+                "parent_label": f"[SCHEME] {s_label}", "scheme_label": s_label,
+                "top_idx": top_idx, "has_children": False,
+                "definition": "", "alt_labels": [], "notation": "",
+                "same_as": [], "related": [],
             }
         )
 
@@ -170,8 +189,8 @@ def dfs_rows_local(triple_rows, config: EngineConfig) -> list[dict]:
                 "sort_path": path(), "section": section, "origin": "anchor",
                 "uri": None, "label": label, "level": level,
                 "parent_label": parent_label, "scheme_label": scheme_label,
-                "top_idx": -1, "definition": "", "alt_labels": [],
-                "notation": "", "same_as": [], "related": [],
+                "top_idx": -1, "has_children": False, "definition": "",
+                "alt_labels": [], "notation": "", "same_as": [], "related": [],
             }
         )
 
@@ -183,6 +202,8 @@ def dfs_rows_local(triple_rows, config: EngineConfig) -> list[dict]:
         sorted_tops = sorted(top_slots.get(scheme, []), key=lambda c: (best_label(c), c))
         for i, top in enumerate(sorted_tops):
             if top in processed:
+                if i > 0:
+                    emit_ghost(top, s_label, i)
                 continue
             processed.add(top)
             emit(top, "top", "anchor", 1, f"[SCHEME] {s_label}", s_label, i)

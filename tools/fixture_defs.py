@@ -302,6 +302,39 @@ TTL_FIXTURES["vocab_twoschemes"] = [
 ]
 
 
+# --- vocab_sharedtop: markdown separator edge cases ---------------------
+# (a) a top concept shared by two schemes: at its second slot (index>0)
+#     the reference appends '' and skips the block (ghost separator);
+# (b) a concept whose only child was already processed as an earlier
+#     scheme's top: hierarchy[concept] is non-empty so the reference
+#     appends the pre-children '' even though no child block follows.
+_shA, _shB = _c("alphaScheme"), _c("betaScheme")
+_apl, _shr, _mid = _c("appleTop"), _c("sharedTop"), _c("middleMid")
+TTL_FIXTURES["vocab_sharedtop"] = [
+    _ref(_shA, TYPE, SCHEME),
+    _lit(_shA, PREF, "Alpha", "en"),
+    _ref(_shA, HAS_TOP, _apl),
+    _ref(_shA, HAS_TOP, _shr),
+    _ref(_shB, TYPE, SCHEME),
+    _lit(_shB, PREF, "Beta", "en"),
+    _ref(_shB, HAS_TOP, _mid),
+    _ref(_shB, HAS_TOP, _shr),
+    _ref(_apl, TYPE, CONCEPT),
+    _lit(_apl, PREF, "Apple", "en"),
+    _ref(_apl, TOP_OF, _shA),
+    _ref(_shr, TYPE, CONCEPT),
+    _lit(_shr, PREF, "Shared", "en"),
+    _ref(_shr, TOP_OF, _shA),
+    _ref(_shr, TOP_OF, _shB),
+    _ref(_mid, TYPE, CONCEPT),
+    _lit(_mid, PREF, "Middle", "en"),
+    _ref(_mid, TOP_OF, _shB),
+    # Apple is ALSO Middle's tree child: emitted under Alpha first, so
+    # Middle renders with no child block but still owes the '' separator
+    _ref(_mid, NARROWER, _apl),
+]
+
+
 MD_FIXTURES = {
     "md_basic": (
         "# Concept Scheme: Animals\n"
