@@ -41,17 +41,22 @@ def norm_tokens(col):
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingle array (empty when fewer than n tokens)."""
+    """Word n-gram shingle array (empty when fewer than n tokens).
+
+    Built as a zip_with over n shifted slices, NOT a transform indexing
+    the token array: a lambda that captures the tokenization expression
+    re-evaluates lower+regexp+split once per element_at call (higher-
+    order functions are interpreted, no subexpression elimination), which
+    made shingling O(tokens × n) full-text scans per row — the dominant
+    cost of the whole minhash pipeline. Slices evaluate their argument
+    once per ROW; the zip_with lambdas touch only bound element vars."""
     toks = norm_tokens(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, k + 1, F.greatest(m, F.lit(0))) for k in range(n)]
+    arr = parts[0]
+    for p in parts[1:]:
+        arr = F.zip_with(arr, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(m >= 1, arr).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -141,15 +146,27 @@ def minhash_lsh_pairs(
         for i in range(k)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    band_rows = None
-    for b in range(bands):
-        cols = [F.col(f"h{b * r + j}") for j in range(r)]
-        one = sig.select(
-            "doc_id",
+    # one (band, bucket) row per band via a single explode — NOT a union
+    # of per-band selects, which would re-run the k-md5 signature
+    # aggregation once per band; checkpointed because the self-join
+    # below reads it twice
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.encode(F.concat_ws("|", *cols), "utf-8")).alias("bucket"),
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)]),
+                    "utf-8",
+                )
+            ).alias("bucket"),
         )
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+        for b in range(bands)
+    ]
+    band_rows = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .localCheckpoint(eager=True)
+    )
     a = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b_ = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     candidates = (
@@ -157,6 +174,7 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)  # read 3× below (cand_docs + 2 joins)
     )
     # exact-jaccard verify ONLY for candidate pairs: join each side to its
     # shingle set and intersect arrays. (Verifying via the inverted-index
@@ -173,6 +191,7 @@ def minhash_lsh_pairs(
         sh.join(cand_docs, "doc_id", "semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
+        .localCheckpoint(eager=True)  # joined twice (doc_a / doc_b sides)
     )
     jac = (
         F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
