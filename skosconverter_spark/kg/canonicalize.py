@@ -44,6 +44,10 @@ def connected_components(
     Nodes not in ``edges`` are their own components by definition and
     need no rows here (callers coalesce on join).
     """
+    if edges.isEmpty():
+        # no equivalence edges (the common case for a plain web corpus):
+        # skip the eager-checkpoint fixpoint machinery entirely
+        return edges.sparkSession.createDataFrame([], "uri string, component string")
     comp = (
         edges.select(F.col("src").alias("uri"))
         .unionByName(edges.select(F.col("dst").alias("uri")))
@@ -85,6 +89,10 @@ def transitive_closure(
 ) -> DataFrame:
     """(descendant, ancestor) reachability over directed (child, parent)
     edges, by path doubling — reach 2^k hops after k rounds."""
+    if edges.isEmpty():
+        return edges.sparkSession.createDataFrame(
+            [], "descendant string, ancestor string"
+        )
     reach = edges.select(
         F.col("child").alias("descendant"), F.col("parent").alias("ancestor")
     ).distinct().localCheckpoint(eager=True)
@@ -123,6 +131,21 @@ def canonicalize_triples(triples: DataFrame, max_iterations: int = 25) -> DataFr
     """Rewrite subj/obj through the canonical map (identity for nodes
     outside any equivalence class); drop equivalence self-loops; dedup."""
     cmap = canonical_map(triples, max_iterations)
+    if cmap.isEmpty():
+        # nothing to rewrite: the dedup aggregation is the whole job
+        return (
+            triples.groupBy("subj", "pred", "obj", "obj_lang")
+            .agg(
+                F.min(F.struct("seq", "src_url", "obj_is_literal"))[
+                    "obj_is_literal"
+                ].alias("obj_is_literal"),
+                F.min("src_url").alias("src_url"),
+                F.min("seq").alias("seq"),
+            )
+            .select(
+                "subj", "pred", "obj", "obj_is_literal", "obj_lang", "src_url", "seq"
+            )
+        )
     t = (
         triples.join(
             cmap.select(F.col("uri").alias("subj"), F.col("canonical").alias("subj_c")),
