@@ -131,3 +131,64 @@ def test_uri_fragment_from_label(spark):
     got = [r.f for r in df.select(uri_fragment_from_label(F.col("s")).alias("f")).collect()]
     # reference re.sub(r'\s+','_') collapses the double space left by '&' removal
     assert got == ["hello_world", "tom_jerrys_show"]
+
+
+JSONLD_EXPANDED_DOC = """
+{
+  "@context": {
+    "@base": "http://x.org/v#",
+    "@vocab": "http://www.w3.org/2004/02/skos/core#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "label": {"@id": "skos:prefLabel", "@container": "@language"},
+    "broaderId": {"@id": "skos:broader", "@type": "@id"},
+    "narrowerOf": {"@reverse": "skos:broader"},
+    "ordered": {"@id": "http://x.org/p#ordered", "@container": "@list"}
+  },
+  "@graph": [
+    {"@id": "a", "@type": "Concept",
+     "label": {"en": "Alpha", "nl": ["Alfa", "Alef"]},
+     "broaderId": "b",
+     "narrowerOf": {"@id": "c"},
+     "@reverse": {"skos:related": {"@id": "d"}},
+     "definition": {"@value": "2024-01-01", "@type": "http://www.w3.org/2001/XMLSchema#date"},
+     "ordered": ["one", "two"]},
+    {"altLabel": "anon node gets a deterministic blank id"}
+  ]
+}
+"""
+
+
+def test_jsonld_expansion_features():
+    """Round-2 expansion: @base/@vocab, language maps, @type:@id
+    coercion, @reverse (term + keyword), @list, anonymous bnodes —
+    the public W3C expansion semantics rdflib gives the reference."""
+    from skosconverter_spark.sources.jsonld import RDF_FIRST, RDF_NIL, RDF_REST
+
+    ts = parse_jsonld(JSONLD_EXPANDED_DOC)
+    got = {(t.subj, t.pred, t.obj, t.obj_is_literal, t.obj_lang) for t in ts}
+    A = "http://x.org/v#a"
+    # language map -> one literal per language value
+    assert (A, SKOS + "prefLabel", "Alpha", True, "en") in got
+    assert (A, SKOS + "prefLabel", "Alfa", True, "nl") in got
+    assert (A, SKOS + "prefLabel", "Alef", True, "nl") in got
+    # @type:@id coercion: plain string becomes a base-resolved IRI object
+    assert (A, SKOS + "broader", "http://x.org/v#b", False, None) in got
+    # @reverse term and keyword invert the triple
+    assert ("http://x.org/v#c", SKOS + "broader", A, False, None) in got
+    assert ("http://x.org/v#d", SKOS + "related", A, False, None) in got
+    # @vocab expands bare property terms; datatype accepted, not stored
+    assert (A, SKOS + "definition", "2024-01-01", True, None) in got
+    # @list -> rdf:first/rest/nil chain from a deterministic head bnode
+    heads = [t.obj for t in ts if t.pred == "http://x.org/p#ordered"]
+    assert len(heads) == 1 and heads[0].startswith("_:")
+    chain = {t.subj: (t.pred, t.obj) for t in ts if t.pred == RDF_FIRST}
+    rests = {t.subj: t.obj for t in ts if t.pred == RDF_REST}
+    assert chain[heads[0]][1] == "one"
+    assert chain[rests[heads[0]]][1] == "two"
+    assert rests[rests[heads[0]]] == RDF_NIL
+    # anonymous node minted a blank id and kept its property
+    anon = [t for t in ts if t.pred == SKOS + "altLabel"]
+    assert len(anon) == 1 and anon[0].subj.startswith("_:")
+    # determinism: identical parse twice
+    ts2 = parse_jsonld(JSONLD_EXPANDED_DOC)
+    assert [tuple(t) for t in ts] == [tuple(t) for t in ts2]

@@ -42,3 +42,33 @@ def test_stream_triples_and_window(spark, tmp_path):
         batch.groupBy().count().collect()[0]["count"]
     )
     assert got == 80
+
+
+def test_stateful_stream_dedup_across_batches_and_restart(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: first occurrence per
+    fingerprint survives; later batches AND a restarted stream suppress
+    duplicates via checkpointed state."""
+    from skosconverter_spark.streaming.dedup import run_dedup_stream
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "ALPHA   text")],  # 3 dups 1
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = run_dedup_stream(spark, in_dir, out_dir, ckpt, schema)
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {1, 2}  # doc 3 normalizes to doc 1's fingerprint
+    assert got[1].n_prior_dups == 1
+
+    # second wave: one duplicate of doc 2, one genuinely new doc —
+    # restart from the same checkpoint must suppress the duplicate
+    spark.createDataFrame(
+        [(10, "beta  TEXT"), (11, "gamma text")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = run_dedup_stream(spark, in_dir, out_dir, ckpt, schema)
+    q2.awaitTermination(120)
+    all_rows = spark.read.parquet(out_dir).collect()
+    assert {r.doc_id for r in all_rows} == {1, 2, 11}
