@@ -53,7 +53,11 @@ def label_table(triples: DataFrame) -> DataFrame:
 
 
 class _Trie:
-    """Token-level dictionary: norm token tuple → True; tracks max length."""
+    """Token-level dictionary: norm token tuple → True; tracks max length.
+
+    ``first_tokens`` is the hot-path filter: the scanner touches the
+    window machinery only for tokens that can START some surface, so the
+    per-token cost on non-vocabulary text is one string-set lookup."""
 
     def __init__(self, surfaces: list[str]):
         self.surfaces = set()
@@ -65,7 +69,9 @@ class _Trie:
                 self.max_len = max(self.max_len, len(toks))
         # prefix set for early window cut-off
         self.prefixes = set()
+        self.first_tokens = set()
         for toks in self.surfaces:
+            self.first_tokens.add(toks[0])
             for i in range(1, len(toks) + 1):
                 self.prefixes.add(toks[:i])
 
@@ -85,6 +91,10 @@ def scan_mentions(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         trie = trie_bc.value
+        first_tokens = trie.first_tokens
+        prefixes = trie.prefixes
+        surfaces = trie.surfaces
+        max_len = trie.max_len
         for pdf in batches:
             out = {k: [] for k in ("url", "surface", "norm_surface", "begin", "end")}
             for url, text in zip(pdf["url"], pdf["text"]):
@@ -94,13 +104,19 @@ def scan_mentions(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
                 lowered = [w[0].lower() for w in words]
                 n = len(words)
                 for i in range(n):
-                    for l in range(1, trie.max_len + 1):
+                    # hot-path gate: one string hash per non-starting token
+                    # (identical semantics to the l=1 prefix check below —
+                    # a window can only extend if its first token starts
+                    # some surface)
+                    if lowered[i] not in first_tokens:
+                        continue
+                    for l in range(1, max_len + 1):
                         if i + l > n:
                             break
                         window = tuple(lowered[i : i + l])
-                        if window not in trie.prefixes:
+                        if window not in prefixes:
                             break
-                        if window in trie.surfaces:
+                        if window in surfaces:
                             begin = words[i][1]
                             end = words[i + l - 1][2]
                             out["url"].append(url)

@@ -86,8 +86,11 @@ def ivf_assign(
     centroid_mod: int = 97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_assign: int = 1,
 ) -> DataFrame:
-    """(vec_id, centroid_id): nearest deterministic centroid.
+    """(vec_id, centroid_id): the ``n_assign`` nearest deterministic
+    centroids per vector (1 = bucket assignment; >1 = the probe list a
+    query scans).
 
     Centroids are the vectors whose id ≡ 0 (mod centroid_mod) — a fixed,
     engine-agnostic coarse quantizer (real deployments train k-means;
@@ -103,7 +106,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "centroid_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_assign)
         .select(id_col, "centroid_id")
     )
 
@@ -115,15 +118,25 @@ def ivf_topk(
     centroid_mod: int = 97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's own centroid bucket."""
+    """Approximate top-k: each vector lives in exactly ONE centroid
+    bucket; a query scans its ``nprobe`` nearest buckets. nprobe trades
+    scan cost for recall (nprobe = #centroids degenerates to exact
+    brute force — asserted by test); buckets are disjoint so no
+    dedup pass is needed."""
     assign = ivf_assign(vectors, centroid_mod, id_col, vec_col)
     v = vectors.join(assign, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v_vec"),
         "centroid_id",
     )
-    q = queries.join(assign, id_col).select(
+    q_assign = (
+        assign
+        if nprobe == 1
+        else ivf_assign(vectors, centroid_mod, id_col, vec_col, n_assign=nprobe)
+    )
+    q = queries.join(q_assign, id_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "centroid_id",

@@ -381,3 +381,33 @@ def test_extension_oracle_parity(spark, duck, name):
     assert scols == ocols
     assert len(srows) == len(orows)
     assert srows == orows
+
+
+def test_ivf_topk_nprobe_recall_monotone(spark):
+    """nprobe trades scan cost for recall; at nprobe = #buckets the plan
+    degenerates to exact brute force."""
+    from skosconverter_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=3).collect()}
+
+    def recall(np_):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(e, q, k=3, centroid_mod=23, nprobe=np_).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    # scanning every bucket recovers the exact result
+    n_cents = e.filter((F.col("vec_id") % 23) == 0).count()
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(e, q, k=3, centroid_mod=23, nprobe=n_cents).collect()
+    }
+    exact_ranked = {
+        (r.query_id, r.neighbor_id, r.rank) for r in cosine_topk(e, q, k=3).collect()
+    }
+    assert full == exact_ranked
