@@ -278,6 +278,12 @@ def q_text_langid(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_text_winnow(spark, sf_dir):
+    from skosconverter_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -383,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
+        "text_winnow": q_text_winnow,
         "multimodal_byte_stats": q_multimodal_byte_stats,
         "multimodal_features": q_multimodal_features,
         "events_window_agg": q_events_window_agg,
@@ -763,6 +770,25 @@ SELECT d.doc_id,
 FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 """
 
+_TEXT_WINNOW_SQL = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos, md5(substr(t, i, 5)) AS h
+  FROM n CROSS JOIN UNNEST(range(1, length(t) - 5 + 2)) AS r(i)
+),
+w AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS npos
+  FROM g
+)
+SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= npos - 4
+"""
+
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -865,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_langid": _langid_sql(),
+        "text_winnow": _TEXT_WINNOW_SQL,
         "multimodal_byte_stats": _MULTIMODAL_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "events_window_agg": _EVENTS_WINDOW_SQL,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -75,6 +75,44 @@ def fingerprint(col: Column) -> Column:
     (md5 is identical across engines; xxhash64 is Spark-private.)"""
     norm = F.trim(F.regexp_replace(F.lower(col), _WS_NORM, " "))
     return F.md5(F.encode(norm, "utf-8"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """(doc_id, fp): winnowing document sketch — the rolling-hash
+    fingerprint family (Schleimer/Wilkerson/Aiken 2003, the public MOSS
+    scheme): hash every char k-gram of the normalized text, slide a
+    window of w hashes, keep each window's minimum, distinct.
+
+    Guarantees (from the public algorithm): any match of length
+    ≥ w + k - 1 between two documents shares at least one selected
+    fingerprint — the basis of plagiarism/near-dup detection at scale.
+
+    Plan shape: k-grams built as a zip_with over k shifted char slices
+    (O(1) evaluations of the normalization per row — see the HOF-lambda
+    note on operators.dedup.shingles), then ONE posexplode + ONE
+    doc_id-keyed window (sliding min) — a single uniform shuffle, no
+    per-element re-hashing. Documents shorter than k + w - 1 normalized
+    chars produce no rows (no full window exists)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS_NORM, " "))
+    chars = F.split(norm, "")
+    m = F.size(chars) - (k - 1)
+    parts = [F.slice(chars, i + 1, F.greatest(m, F.lit(0))) for i in range(k)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, b))
+    g = df.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+    h = g.select("doc_id", "pos", F.md5(F.encode(F.col("g"), "utf-8")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy("doc_id")
+    return (
+        h.withColumn("wmin", F.min("h").over(win))
+        .withColumn("npos", F.count("*").over(per_doc))
+        .filter(F.col("pos") <= F.col("npos") - w)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
 
 
 # --------------------------------------------------------------------------

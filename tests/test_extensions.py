@@ -232,6 +232,30 @@ def test_fingerprint_matches_hashlib(spark):
     assert r.fp == hashlib.md5(b"the quick fox").hexdigest()
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (public MOSS property): any shared substring
+    of length >= w + k - 1 yields at least one shared fingerprint;
+    identical docs have identical sketches; too-short docs vanish."""
+    from skosconverter_spark.functions.text import winnow_fingerprints
+
+    docs = docs_df(
+        spark,
+        [
+            (1, "abcdefghijklmnop"),
+            (2, "zzz abcdefghijklmnop"),  # shares a 16-char run with 1
+            (3, "1234567"),  # 7 norm chars < k + w - 1 = 8 -> no window
+            (4, "ABCDEFGHIJKLMNOP"),  # identical to 1 after lowering
+        ],
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert 3 not in fps
+    assert fps[1] == fps[4]
+    assert fps[1] & fps[2]  # shared substring -> shared fingerprint
+    assert all(len(f) == 32 for f in fps[1])  # md5 hex
+
+
 def test_lang_id_pinned_snippets(spark):
     from skosconverter_spark.functions.text import lang_id
 
@@ -346,6 +370,7 @@ EXTENSION_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "text_langid",
+    "text_winnow",
     "multimodal_byte_stats",
     "multimodal_features",
     "events_window_agg",
