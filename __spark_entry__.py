@@ -284,6 +284,18 @@ def q_text_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_corpus_quality_filter(spark, sf_dir):
+    from skosconverter_spark.operators.filter import quality_flags
+
+    return quality_flags(_docs(spark, sf_dir), min_words=20)
+
+
+def q_corpus_hash_sample(spark, sf_dir):
+    from skosconverter_spark.operators.filter import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.1).select("doc_id")
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -390,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
+        "corpus_quality_filter": q_corpus_quality_filter,
+        "corpus_hash_sample": q_corpus_hash_sample,
         "multimodal_byte_stats": q_multimodal_byte_stats,
         "multimodal_features": q_multimodal_features,
         "events_window_agg": q_events_window_agg,
@@ -789,6 +803,38 @@ w AS (
 SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= npos - 4
 """
 
+_QUALITY_FILTER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           round(list_sum(list_apply(toks, x -> length(x)))::DOUBLE / len(toks)::DOUBLE, 6)
+         END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN
+           round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                 / len(toks)::DOUBLE, 6)
+         END AS alpha_word_frac,
+         len(list_intersect(list_distinct(list_apply(toks, x -> lower(x))),
+                            ['the','a','of','and','to','in','is','it'])) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND alpha_word_frac >= 0.8 AND stopword_hits >= 2) AS keep
+FROM f
+"""
+
+_HASH_SAMPLE_SQL = f"""
+SELECT doc_id FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '{format(int(0.1 * 16**8), "08x")}'
+"""
+
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -892,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_langid": _langid_sql(),
         "text_winnow": _TEXT_WINNOW_SQL,
+        "corpus_quality_filter": _QUALITY_FILTER_SQL,
+        "corpus_hash_sample": _HASH_SAMPLE_SQL,
         "multimodal_byte_stats": _MULTIMODAL_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "events_window_agg": _EVENTS_WINDOW_SQL,

@@ -1,0 +1,106 @@
+"""Corpus filtering + deterministic sampling for training-data pipelines.
+
+Two operators every 100 TB pretraining pipeline runs before anything
+else, both pure Catalyst expressions (no Python, no shuffle except the
+caller's):
+
+- ``quality_flags`` / ``corpus_filter``: document-level quality rules in
+  the publicly documented Gopher/C4 family (Rae et al. 2021 §A1.1;
+  Raffel et al. 2020 §2.2) — word-count bounds, mean word length,
+  alphabetic-word fraction, stopword evidence. Every signal is exact
+  integer/rational math so a SQL oracle reproduces the keep/drop
+  decision bit-for-bit. Thresholds are parameters; the defaults are the
+  published Gopher values where they exist.
+- ``hash_sample``: deterministic content-addressed sampling — keep a row
+  iff the first 8 hex chars of md5(key||salt) compare below the
+  fraction's hex threshold. Properties that matter at scale: stable
+  under re-runs and repartitioning (pure function of the key), nested
+  samples (frac 0.1 ⊂ frac 0.2 at the same salt), disjoint across
+  salts, and engine-agnostic (string comparison on md5 hex — no
+  engine-private hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from skosconverter_spark.functions.text import STOPWORDS, tokens
+
+# published Gopher bounds (Rae et al. 2021, Appendix A1.1)
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOPWORD_HITS = 2
+
+
+def quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    min_mean_word_len: float = MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = MAX_MEAN_WORD_LEN,
+    min_alpha_word_frac: float = MIN_ALPHA_WORD_FRAC,
+    min_stopword_hits: int = MIN_STOPWORD_HITS,
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+    keep): per-document quality signals and the conjunctive decision."""
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    # guard n_words = 0: NULL ratios on BOTH engine and oracle (an empty
+    # document fails keep either way, but the value row must agree)
+    nz = F.when(n_words > 0, n_words.cast("double"))
+    mean_len = total_len.cast("double") / nz
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words.cast("double") / nz
+    # stopword evidence: number of DISTINCT stopwords present (the
+    # Gopher rule asks for >= 2 of a fixed list)
+    low = F.array_distinct(F.transform(toks, lambda t: F.lower(t)))
+    stop_hits = F.size(
+        F.array_intersect(low, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("keep", keep)
+
+
+def corpus_filter(df: DataFrame, text_col: str = "text", **bounds) -> DataFrame:
+    """Documents that pass every quality rule (semi-join on the flags)."""
+    kept = quality_flags(df, text_col, **bounds).filter(F.col("keep")).select("doc_id")
+    return df.join(kept, "doc_id", "semi")
+
+
+def sample_key(key: Column, salt: str = "") -> Column:
+    """First 8 hex chars of md5(key||salt) — the sampling coordinate."""
+    return F.substring(
+        F.md5(F.encode(F.concat(key.cast("string"), F.lit(salt)), "utf-8")), 1, 8
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic ~fraction sample: keep iff the md5-hex coordinate is
+    below the fraction's 8-hex-digit threshold. Nested across fractions,
+    stable across runs/partitionings, disjoint across salts."""
+    thr = format(min(int(fraction * 16**8), 16**8), "08x")
+    return df.filter(sample_key(F.col(key_col), salt) < F.lit(thr))

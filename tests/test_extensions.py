@@ -371,6 +371,8 @@ EXTENSION_QUERIES = [
     "text_fingerprint",
     "text_langid",
     "text_winnow",
+    "corpus_quality_filter",
+    "corpus_hash_sample",
     "multimodal_byte_stats",
     "multimodal_features",
     "events_window_agg",
@@ -436,3 +438,52 @@ def test_ivf_topk_nprobe_recall_monotone(spark):
         (r.query_id, r.neighbor_id, r.rank) for r in cosine_topk(e, q, k=3).collect()
     }
     assert full == exact_ranked
+
+
+# --------------------------------------------------------------------------
+# corpus filtering + deterministic sampling
+# --------------------------------------------------------------------------
+
+
+def test_quality_flags_known_values(spark):
+    from skosconverter_spark.operators.filter import quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog in the field " * 5
+    docs = docs_df(
+        spark,
+        [
+            (1, good),                      # passes every rule
+            (2, "word " * 60),              # no stopwords -> dropped
+            (3, "aa " * 60 + "the a of"),   # mean word len < 3 -> dropped
+            (4, "the a of it"),             # too short -> dropped
+        ],
+    )
+    got = {r.doc_id: r for r in quality_flags(docs, min_words=50).collect()}
+    assert got[1].keep is True
+    assert got[1].n_words == 60
+    assert got[2].keep is False and got[2].stopword_hits == 0
+    assert got[3].keep is False and got[3].mean_word_len < 3.0
+    assert got[4].keep is False and got[4].n_words == 4
+
+
+def test_corpus_filter_semi_join(spark):
+    from skosconverter_spark.operators.filter import corpus_filter
+
+    good = "the quick brown fox jumps over a lazy dog in the field " * 5
+    docs = docs_df(spark, [(1, good), (2, "tiny")])
+    kept = corpus_filter(docs, min_words=50).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert kept[0].text == good  # original columns survive the semi-join
+
+
+def test_hash_sample_deterministic_nested_disjoint(spark):
+    from skosconverter_spark.operators.filter import hash_sample
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in hash_sample(docs, 0.10).collect()}
+    s20 = {r.doc_id for r in hash_sample(docs, 0.20).collect()}
+    assert s10 == {r.doc_id for r in hash_sample(docs.repartition(13), 0.10).collect()}
+    assert s10 < s20  # nested: smaller fraction is a subset
+    assert 0.05 < len(s10) / 5000 < 0.15 and 0.15 < len(s20) / 5000 < 0.25
+    other = {r.doc_id for r in hash_sample(docs, 0.10, salt="v2").collect()}
+    assert other != s10  # salts give independent draws
