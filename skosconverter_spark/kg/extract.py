@@ -96,20 +96,22 @@ def extract_text(pages: DataFrame, version: str = EXTRACTOR_VERSION) -> DataFram
     """pages → pages with ``text`` filled where null.
 
     Rows that already carry text keep it byte-identically (the
-    invariant is per url); only null-text rows run the extractor.
-    One Python call per Arrow batch.
+    invariant is per url) and NEVER cross the Python boundary: the
+    stream is split on text-nullness so only rows that actually need
+    the extractor pay the Arrow round-trip (on a crawl refresh most
+    rows arrive pre-extracted — shipping them through pandas was pure
+    serialization cost). Row order is not part of the contract (the
+    caller repartitions); the per-url invariant is.
     """
     cols = pages.columns
     kernel = _KERNELS[version]
+    have = pages.filter(F.col("text").isNotNull())
+    need_rows = pages.filter(F.col("text").isNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            need = pdf["text"].isna()
-            if need.any():
-                pdf = pdf.copy()
-                pdf.loc[need, "text"] = [
-                    kernel(h) for h in pdf.loc[need, "html"]
-                ]
+            pdf = pdf.copy()
+            pdf["text"] = [kernel(h) for h in pdf["html"]]
             yield pdf
 
     schema = ", ".join(
@@ -122,7 +124,7 @@ def extract_text(pages: DataFrame, version: str = EXTRACTOR_VERSION) -> DataFram
         }[c]
         for c in cols
     )
-    return pages.mapInPandas(run, schema)
+    return have.unionByName(need_rows.mapInPandas(run, schema))
 
 
 def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
