@@ -361,6 +361,31 @@ def q_events_top_users(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """clicks as-of joined to the latest preceding view per user. The
+    right side is pre-aggregated to unique (user_id, ts) so 'latest' is
+    well-defined in every engine (see operators.temporal docstring)."""
+    from skosconverter_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(clicks, views, ["user_id"], "ts", right_prefix="view_")
+
+
+def q_events_sessions(spark, sf_dir):
+    from skosconverter_spark.operators.temporal import session_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_windows(ev, "30 minutes")
+
+
 def q_lineitem_pricing(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -408,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_window_agg": q_events_window_agg,
         "events_top_users": q_events_top_users,
+        "events_asof": q_events_asof,
+        "events_sessions": q_events_sessions,
         "lineitem_pricing": q_lineitem_pricing,
     }
 
@@ -895,6 +922,44 @@ SELECT event_type, user_id, tv::DOUBLE AS total_value, rank
 FROM ranked WHERE rank <= 3
 """
 
+_EVENTS_ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+c AS (
+  SELECT user_id, ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.ts, c.click_value,
+       v.ts AS view_ts, v.view_value
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+_EVENTS_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       (sum(value::DECIMAL(14,2)))::DOUBLE AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
 _LINEITEM_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        (sum(l_quantity::DECIMAL(14,2)))::DOUBLE AS sum_qty,
@@ -944,5 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "events_window_agg": _EVENTS_WINDOW_SQL,
         "events_top_users": _EVENTS_TOP_USERS_SQL,
+        "events_asof": _EVENTS_ASOF_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
     }

@@ -376,6 +376,8 @@ EXTENSION_QUERIES = [
     "multimodal_byte_stats",
     "multimodal_features",
     "events_window_agg",
+    "events_asof",
+    "events_sessions",
     "events_top_users",
     "lineitem_pricing",
 ]
@@ -487,3 +489,56 @@ def test_hash_sample_deterministic_nested_disjoint(spark):
     assert 0.05 < len(s10) / 5000 < 0.15 and 0.15 < len(s20) / 5000 < 0.25
     other = {r.doc_id for r in hash_sample(docs, 0.10, salt="v2").collect()}
     assert other != s10  # salts give independent draws
+
+
+# --------------------------------------------------------------------------
+# temporal operators: as-of join, sessionization
+# --------------------------------------------------------------------------
+
+
+def test_asof_join_known_answers(spark):
+    import datetime as dt
+
+    from skosconverter_spark.operators.temporal import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, T(5), "c1"), (1, T(20), "c2"), (2, T(7), "c3"), (3, T(1), "c4")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(3), 30.0), (1, T(20), 40.0), (2, T(9), 50.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.tag: (r.view_ts, r.view_value)
+        for r in asof_join(left, right, ["user_id"], "ts", "view_").collect()
+    }
+    assert got["c1"] == (T(3), 30.0)   # latest preceding
+    assert got["c2"] == (T(20), 40.0)  # equal ts IS visible (>= semantics)
+    assert got["c3"] == (None, None)   # right row is later -> no match
+    assert got["c4"] == (None, None)   # user has no right rows at all
+
+
+def test_session_windows_known_answers(spark):
+    import datetime as dt
+
+    from skosconverter_spark.operators.temporal import session_windows
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    ev = spark.createDataFrame(
+        [
+            (1, T(10, 0), 1.0),
+            (1, T(10, 20), 2.0),   # within 30min gap -> same session
+            (1, T(11, 30), 4.0),   # >30min after previous -> new session
+            (2, T(10, 0), 8.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in session_windows(ev, "30 minutes").collect()
+    }
+    assert got[(1, T(10, 0))] == (T(10, 50), 2, 3.0)  # end = last + gap
+    assert got[(1, T(11, 30))] == (T(12, 0), 1, 4.0)
+    assert got[(2, T(10, 0))] == (T(10, 30), 1, 8.0)
