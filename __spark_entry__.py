@@ -379,6 +379,30 @@ def q_events_asof(spark, sf_dir):
     return asof_join(clicks, views, ["user_id"], "ts", right_prefix="view_")
 
 
+def q_events_range_join(spark, sf_dir):
+    """click×view pairs within 5 minutes per user (bucket-banded equi
+    join, not a theta cross product); counts + extrema keep the checked
+    output compact while pinning every pair."""
+    from skosconverter_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    pairs = range_join(clicks, views, ["user_id"], "ts", 300, right_prefix="view_")
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("ts").alias("first_click"),
+        F.max("view_ts").alias("last_view"),
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    from skosconverter_spark.operators.temporal import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(ev)
+
+
 def q_events_sessions(spark, sf_dir):
     from skosconverter_spark.operators.temporal import session_windows
 
@@ -435,6 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "events_asof": q_events_asof,
         "events_sessions": q_events_sessions,
+        "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
         "lineitem_pricing": q_lineitem_pricing,
     }
 
@@ -960,6 +986,33 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid
 """
 
+_EVENTS_RANGE_SQL = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+pairs AS (
+  SELECT c.user_id, c.ts, v.ts AS view_ts
+  FROM c JOIN v ON c.user_id = v.user_id
+   AND abs(epoch(c.ts) - epoch(v.ts)) <= 300
+)
+SELECT user_id, count(*) AS n_pairs,
+       min(ts) AS first_click, max(view_ts) AS last_view
+FROM pairs GROUP BY user_id
+"""
+
+_EVENTS_ROLLUP_SQL = """
+SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket_start,
+       count(*) AS n_events, (sum(value::DECIMAL(14,2)))::DOUBLE AS total_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), count(*),
+       (sum(value::DECIMAL(14,2)))::DOUBLE
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts), count(*),
+       (sum(value::DECIMAL(14,2)))::DOUBLE
+FROM events GROUP BY 2
+"""
+
 _LINEITEM_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        (sum(l_quantity::DECIMAL(14,2)))::DOUBLE AS sum_qty,
@@ -1011,5 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": _EVENTS_TOP_USERS_SQL,
         "events_asof": _EVENTS_ASOF_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
+        "events_range_join": _EVENTS_RANGE_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
     }

@@ -77,6 +77,96 @@ def asof_join(
     return out.filter(F.col("_side") == 1).drop("_side")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    max_gap_seconds: int = 600,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """All (left, right) pairs per key with |l.ts − r.ts| ≤ gap.
+
+    A naive theta join on the time predicate is a per-key cross product
+    — the classic range-join blowup. The scalable encoding buckets time
+    by the gap width and turns the range predicate into an EQUI join:
+    each right row is replicated into its bucket and both neighbors, the
+    join runs on (key, bucket), and the exact |Δts| filter prunes the
+    band. Any qualifying pair differs by at most one bucket, and each
+    pair meets on exactly ONE replica (the left row's bucket), so no
+    dedup pass is needed. Cost: 3× right replication + one hash join —
+    instead of a cross product."""
+    gap = F.lit(max_gap_seconds)
+    payload = [c for c in right.columns if c not in (*key_cols, ts_col)]
+    l = left.withColumn("_b", F.floor(F.unix_timestamp(F.col(ts_col)) / gap))
+    r = right.select(
+        *key_cols,
+        F.col(ts_col).alias(f"{right_prefix}{ts_col}"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp(F.col(ts_col)) / gap) - 1,
+                F.floor(F.unix_timestamp(F.col(ts_col)) / gap),
+                F.floor(F.unix_timestamp(F.col(ts_col)) / gap) + 1,
+            )
+        ).alias("_b"),
+    )
+    return (
+        l.join(r, [*key_cols, "_b"])
+        .filter(
+            F.abs(
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.col(f"{right_prefix}{ts_col}"))
+            )
+            <= gap
+        )
+        .drop("_b")
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grains: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """(grain, bucket_start, n_events, total_value): hierarchical time
+    rollup where each coarser grain re-aggregates the next FINER
+    aggregate (sum of sums, sum of counts) — the hypertable
+    continuous-aggregate pattern. The raw table is scanned once, for the
+    finest grain; every coarser level reads rows(finer) ≪ rows(raw), so
+    a day rollup over 100 TB of events costs one pass plus two
+    aggregations of already-tiny tables."""
+    finest = grains[0]
+    level = (
+        events.groupBy(F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(14,2)")).alias("_tv"),
+        )
+    )
+    out = level.select(
+        F.lit(finest).alias("grain"),
+        "bucket_start",
+        "n_events",
+        F.col("_tv").cast("double").alias("total_value"),
+    )
+    for grain in grains[1:]:
+        level = (
+            level.groupBy(F.date_trunc(grain, F.col("bucket_start")).alias("bucket_start"))
+            .agg(F.sum("n_events").alias("n_events"), F.sum("_tv").alias("_tv"))
+        )
+        out = out.unionByName(
+            level.select(
+                F.lit(grain).alias("grain"),
+                "bucket_start",
+                "n_events",
+                F.col("_tv").cast("double").alias("total_value"),
+            )
+        )
+    return out
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

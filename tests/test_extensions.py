@@ -378,6 +378,8 @@ EXTENSION_QUERIES = [
     "events_window_agg",
     "events_asof",
     "events_sessions",
+    "events_range_join",
+    "events_rollup",
     "events_top_users",
     "lineitem_pricing",
 ]
@@ -542,3 +544,63 @@ def test_session_windows_known_answers(spark):
     assert got[(1, T(10, 0))] == (T(10, 50), 2, 3.0)  # end = last + gap
     assert got[(1, T(11, 30))] == (T(12, 0), 1, 4.0)
     assert got[(2, T(10, 0))] == (T(10, 30), 1, 8.0)
+
+
+def test_range_join_band_exactness(spark):
+    import datetime as dt
+
+    from skosconverter_spark.operators.temporal import range_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, T(0)), (1, T(100)), (2, T(50))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        # planted at bucket boundaries: exactly gap apart, one past gap,
+        # one in a neighboring bucket
+        [(1, T(60)), (1, T(61)), (1, T(160)), (2, T(49))],
+        "user_id long, ts timestamp",
+    )
+    pairs = {
+        (r.user_id, r.ts, r.view_ts)
+        for r in range_join(left, right, ["user_id"], "ts", 60, "view_").collect()
+    }
+    # brute-force expectation: |Δ| <= 60s
+    lrows = [(1, T(0)), (1, T(100)), (2, T(50))]
+    rrows = [(1, T(60)), (1, T(61)), (1, T(160)), (2, T(49))]
+    expect = {
+        (ul, tl, tr)
+        for ul, tl in lrows
+        for ur, tr in rrows
+        if ul == ur and abs((tl - tr).total_seconds()) <= 60
+    }
+    assert pairs == expect  # each qualifying pair exactly once, none extra
+    assert (1, T(0), T(60)) in pairs      # boundary: exactly gap apart
+    assert (1, T(0), T(61)) not in pairs  # one second beyond
+
+
+def test_time_rollup_hierarchy_consistent(spark):
+    import datetime as dt
+
+    from skosconverter_spark.operators.temporal import time_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 10, 0, 30), 1.0),
+            (dt.datetime(2024, 1, 1, 10, 0, 45), 2.0),
+            (dt.datetime(2024, 1, 1, 10, 59, 0), 4.0),
+            (dt.datetime(2024, 1, 2, 0, 0, 0), 8.0),
+        ],
+        "ts timestamp, value double",
+    )
+    rows = time_rollup(ev).collect()
+    by_grain = {}
+    for r in rows:
+        by_grain.setdefault(r.grain, []).append(r)
+    # every grain accounts for every event and the full value mass
+    for g in ("minute", "hour", "day"):
+        assert sum(r.n_events for r in by_grain[g]) == 4
+        assert sum(r.total_value for r in by_grain[g]) == 15.0
+    assert len(by_grain["minute"]) == 3  # two events share a minute
+    assert len(by_grain["hour"]) == 2
+    assert len(by_grain["day"]) == 2
