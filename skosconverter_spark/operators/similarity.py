@@ -95,6 +95,25 @@ def ivf_assign(
     Centroids are the vectors whose id ≡ 0 (mod centroid_mod) — a fixed,
     engine-agnostic coarse quantizer (real deployments train k-means;
     the assignment plumbing is identical)."""
+    return _ivf_assign_ranked(vectors, centroid_mod, id_col, vec_col, n_assign).select(
+        id_col, "centroid_id"
+    )
+
+
+def _ivf_assign_ranked(
+    vectors: DataFrame,
+    centroid_mod: int,
+    id_col: str,
+    vec_col: str,
+    n_assign: int,
+) -> DataFrame:
+    """(vec_id, centroid_id, rn) for rn ≤ n_assign — materialized eagerly:
+    the vectors×centroids scoring pass is the expensive stage, and every
+    consumer joins the assignment from two sides (self-join / query+corpus);
+    without the lineage cut the scoring subtree executes once PER side
+    (no ReusedExchange across the window), doubling the dominant cost.
+    The checkpointed table is two longs + a rank per vector — negligible
+    next to re-scoring."""
     cents = vectors.filter((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )
@@ -107,7 +126,8 @@ def ivf_assign(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_assign)
-        .select(id_col, "centroid_id")
+        .select(id_col, "centroid_id", "rn")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -125,17 +145,16 @@ def ivf_topk(
     scan cost for recall (nprobe = #centroids degenerates to exact
     brute force — asserted by test); buckets are disjoint so no
     dedup pass is needed."""
-    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col)
+    # ONE scoring pass covers both sides: vectors live in their rn=1
+    # bucket, queries probe their rn <= nprobe buckets
+    ranked = _ivf_assign_ranked(vectors, centroid_mod, id_col, vec_col, nprobe)
+    assign = ranked.filter(F.col("rn") == 1).select(id_col, "centroid_id")
     v = vectors.join(assign, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v_vec"),
         "centroid_id",
     )
-    q_assign = (
-        assign
-        if nprobe == 1
-        else ivf_assign(vectors, centroid_mod, id_col, vec_col, n_assign=nprobe)
-    )
+    q_assign = ranked.select(id_col, "centroid_id")
     q = queries.join(q_assign, id_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
