@@ -114,6 +114,79 @@ def featurize(media: DataFrame, dims: int = 8, use_real_decode: bool = False) ->
     )
 
 
+def fake_frames(payload: bytes, frame_size: int = 64, step: int = 2) -> list[bytes]:
+    """Deterministic frame sampler standing in for a video decoder: the
+    payload is treated as a stream of fixed-size frames; every ``step``-th
+    one is kept. Real pipelines decode with ffmpeg here — the row shape
+    (one output row per sampled frame) and batch plumbing are identical."""
+    frames = [
+        payload[i : i + frame_size] for i in range(0, len(payload), frame_size)
+    ]
+    return frames[::step]
+
+
+def frame_sample(media: DataFrame, frame_size: int = 64, step: int = 2) -> DataFrame:
+    """(media_id, frame_idx, frame binary, n_frame_bytes): sampled frames
+    per video payload — the one-to-many decode stage. Arrow-batched; at
+    100 TB the fan-out happens executor-side inside the UDF (no explode
+    of a giant array column through the shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for mid, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
+                if kind != "video" or payload is None:
+                    continue
+                for j, fr in enumerate(fake_frames(bytes(payload), frame_size, step)):
+                    ids.append(mid)
+                    idxs.append(j)
+                    frames.append(fr)
+                    sizes.append(len(fr))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames,
+                 "n_frame_bytes": sizes}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, frame binary, n_frame_bytes long"
+    )
+
+
+def fake_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic thumbnail stand-in for an image resizer: strided
+    byte sampling down to out_w*out_h bytes (padded when short). A real
+    pipeline calls PIL/opencv here; the signature (bytes, target dims →
+    bytes) and the batched path are what the engine owns."""
+    target = out_w * out_h
+    if not payload:
+        return b"\x00" * target
+    stride = max(len(payload) // target, 1)
+    sampled = payload[::stride][:target]
+    return sampled + b"\x00" * (target - len(sampled))
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """(media_id, width, height, thumbnail binary): image-kind payloads
+    resized to a fixed thumbnail — the bounded-output transform stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs = [], []
+            for mid, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
+                if kind != "image" or payload is None:
+                    continue
+                ids.append(mid)
+                thumbs.append(fake_resize(bytes(payload), out_w, out_h))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": out_w, "height": out_h,
+                 "thumbnail": thumbs}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, "media_id long, width int, height int, thumbnail binary"
+    )
+
+
 def byte_stats(media: DataFrame) -> DataFrame:
     """(media_id, kind, n_bytes, payload_md5): pure-expression binary
     column statistics (no UDF) — the oracle-checkable face of the

@@ -604,3 +604,35 @@ def test_time_rollup_hierarchy_consistent(spark):
     assert len(by_grain["minute"]) == 3  # two events share a minute
     assert len(by_grain["hour"]) == 2
     assert len(by_grain["day"]) == 2
+
+
+def test_frame_sample_and_resize_plumbing(spark):
+    """The one-to-many frame sampler and bounded resize stages: real
+    Arrow plumbing + deterministic fakes standing in for codecs (which
+    are absent from this container — decode_media is the disclosed stub)."""
+    from skosconverter_spark.operators.multimodal import (
+        fake_frames,
+        fake_resize,
+        frame_sample,
+        media_from_documents,
+        resize_images,
+    )
+
+    docs = docs_df(spark, [(0, "im" * 100), (2, "vid" * 100), (5, "x" * 300)])
+    media = media_from_documents(docs)  # kinds: 0=image, 2=video, 5=video
+
+    frames = frame_sample(media, frame_size=64, step=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {2, 5}  # video rows only
+    exp = fake_frames(b"vid" * 100, 64, 2)
+    got = [bytes(r.frame) for r in sorted(by_id[2], key=lambda r: r.frame_idx)]
+    assert got == exp
+    assert all(r.n_frame_bytes == len(bytes(r.frame)) for r in frames)
+
+    thumbs = resize_images(media, 8, 8).collect()
+    assert [r.media_id for r in thumbs] == [0]  # image rows only
+    t = bytes(thumbs[0].thumbnail)
+    assert len(t) == 64 and t == fake_resize(b"im" * 100, 8, 8)
+    assert (thumbs[0].width, thumbs[0].height) == (8, 8)
