@@ -185,6 +185,12 @@ def q_embedding_neardup_bucketed(spark, sf_dir):
     return embedding_neardup_bucketed(_emb(spark, sf_dir), 0.35, centroid_mod=23)
 
 
+def q_embedding_neardup_srp(spark, sf_dir):
+    from skosconverter_spark.operators.similarity import embedding_neardup_srp
+
+    return embedding_neardup_srp(_emb(spark, sf_dir), 0.35)
+
+
 # --------------------------------------------------------------------------
 # KG entity linking (mention scan → candidates → TF-IDF scoring → best)
 # --------------------------------------------------------------------------
@@ -446,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+        "embedding_neardup_srp": q_embedding_neardup_srp,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -703,6 +710,44 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 WHERE {_cos('a.embedding', 'b.embedding')} >= 0.35
 """
+
+def _srp_sql(threshold: float = 0.35, bits: int = 16, bands: int = 4, dim: int = 64) -> str:
+    """SRP-LSH near-dup oracle: the ±1 hyperplanes are Python-generated
+    literals (deterministic md5 derivation) consumed identically by both
+    engines; bit = ordered-fold dot > 0."""
+    from skosconverter_spark.operators.similarity import srp_signs
+
+    signs = srp_signs(bits, dim)
+    r = bits // bands
+    bit_exprs = []
+    for j in range(bits):
+        lit = "[" + ", ".join(str(s) for s in signs[j]) + "]"
+        bit_exprs.append(
+            "CASE WHEN list_reduce(list_apply(list_zip(embedding, {lit}), "
+            "p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y) > 0 "
+            "THEN '1' ELSE '0' END".format(lit=lit)
+        )
+    sig = " || ".join(bit_exprs)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, substr(sig, {b * r + 1}, {r}) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, {sig} AS sig FROM embeddings),
+bandrows AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round({_cos('va.embedding', 'vb.embedding')}, 6) AS score
+FROM cand c
+JOIN embeddings va ON va.vec_id = c.id_a
+JOIN embeddings vb ON vb.vec_id = c.id_b
+WHERE {_cos('va.embedding', 'vb.embedding')} >= {threshold}
+"""
+
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
 
@@ -1051,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "embedding_neardup_bucketed": _EMB_NEARDUP_BUCKETED_SQL,
+        "embedding_neardup_srp": _srp_sql(),
         "text_token_count": _TOKEN_COUNT_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

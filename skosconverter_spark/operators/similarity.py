@@ -193,6 +193,95 @@ def embedding_neardup_pairs(
     )
 
 
+def srp_signs(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components for SRP-LSH (Charikar 2002
+    random-hyperplane signatures): component (j, d) = +1 iff the first
+    md5 hex digit of "j:d" is >= 8. Engine-agnostic (both the Spark
+    expressions and the SQL oracle consume these as literals), so the
+    signature — unlike a seeded RNG — is identical everywhere."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def srp_signature(
+    vectors: DataFrame,
+    bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sig): the SRP bit-string — bit j is 1 iff the (ordered
+    left-fold) dot of the vector with hyperplane j is > 0. Cosine-similar
+    vectors agree on most bits (P[agree] = 1 − θ/π), which is what makes
+    banding the signature a near-dup candidate generator."""
+    signs = srp_signs(bits, dim)
+    bit_cols = [
+        F.when(
+            dot(F.col(vec_col), F.array(*[F.lit(s) for s in signs[j]])) > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(bits)
+    ]
+    return vectors.select(
+        F.col(id_col), F.concat(*bit_cols).alias("sig")
+    )
+
+
+def embedding_neardup_srp(
+    vectors: DataFrame,
+    threshold: float,
+    bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LSH-bucketed near-dup alternative to the IVF gate: band the
+    SRP signature (bands × bits/bands), self-join per band bucket for
+    candidates, verify with exact cosine ≥ τ. Identical vectors share
+    every band; near-identical ones share some band with probability
+    following the LSH s-curve. Same shuffle shape as the minhash text
+    dedup — a uniform equi-join on (band, bucket), never all-pairs."""
+    r = bits // bands
+    sig = srp_signature(vectors, bits, dim, id_col, vec_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring(F.col("sig"), b * r + 1, r).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    band_rows = (
+        sig.select(id_col, F.explode(F.array(*band_structs)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .localCheckpoint(eager=True)
+    )
+    a = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_ = band_rows.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("score", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
+
+
 def embedding_neardup_bucketed(
     vectors: DataFrame,
     threshold: float,

@@ -366,6 +366,7 @@ EXTENSION_QUERIES = [
     "ann_ivf_topk",
     "embedding_neardup",
     "embedding_neardup_bucketed",
+    "embedding_neardup_srp",
     "text_token_count",
     "text_quality",
     "text_fingerprint",
@@ -636,3 +637,32 @@ def test_frame_sample_and_resize_plumbing(spark):
     t = bytes(thumbs[0].thumbnail)
     assert len(t) == 64 and t == fake_resize(b"im" * 100, 8, 8)
     assert (thumbs[0].width, thumbs[0].height) == (8, 8)
+
+
+def test_embedding_neardup_srp_properties(spark):
+    from skosconverter_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_srp,
+        srp_signature,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # identical vectors share every signature band -> always candidates
+    dup = e.limit(5).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    planted = e.unionByName(dup)
+    found = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_srp(planted, 0.999999).collect()
+    }
+    assert {(i, i + 10_000) for i in range(5)} <= found
+    # candidates are verified: srp results are a subset of brute force
+    exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(e, 0.35).collect()}
+    srp = {(r.id_a, r.id_b) for r in embedding_neardup_srp(e, 0.35).collect()}
+    assert srp <= exact and srp
+    # signatures are deterministic bit-strings
+    sigs = {r.vec_id: r.sig for r in srp_signature(e.limit(20)).collect()}
+    assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in sigs.values())
+    again = {r.vec_id: r.sig for r in srp_signature(e.limit(20)).collect()}
+    assert sigs == again
