@@ -146,6 +146,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_dedup_corpus(spark, sf_dir), 0.8)
 
 
+def q_corpus_prepare(spark, sf_dir):
+    """The full cleaning cascade (quality → exact dedup → minhash
+    near-dup CC → survivors) over the planted-duplicate corpus — the
+    composition every stage feeds; one oracle checks the whole chain."""
+    from skosconverter_spark.operators.corpus_pipeline import prepare_corpus_ids
+
+    return prepare_corpus_ids(
+        _dedup_corpus(spark, sf_dir), min_words=20, neardup_threshold=0.8
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from skosconverter_spark.operators.dedup import simhash
 
@@ -448,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "corpus_prepare": q_corpus_prepare,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -596,6 +608,90 @@ JOIN common USING (doc_a, doc_b)
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= {tau}
+"""
+
+
+def _corpus_prepare_sql(
+    min_words: int = 20, tau: float = 0.8, k: int = 12, bands: int = 4
+) -> str:
+    """One SQL statement for the whole cleaning cascade: quality CTEs +
+    fingerprint dedup + the minhash candidate/verify pipeline (over the
+    exact survivors) + recursive-CTE connected components for duplicate
+    clustering + the min-id keep policy."""
+    r = k // bands
+    sig_cols = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b, cat=" || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE {_DEDUP_CORPUS_SQL.strip().replace('corpus AS', 'corpus0 AS')},
+tq AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+  FROM corpus0
+),
+qf AS (
+  SELECT doc_id, len(toks) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           round(list_sum(list_apply(toks, x -> length(x)))::DOUBLE / len(toks)::DOUBLE, 6)
+         END AS mwl,
+         CASE WHEN len(toks) > 0 THEN
+           round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                 / len(toks)::DOUBLE, 6)
+         END AS awf,
+         len(list_intersect(list_distinct(list_apply(toks, x -> lower(x))),
+                            ['the','a','of','and','to','in','is','it'])) AS sh
+  FROM tq
+),
+q AS (
+  SELECT doc_id FROM qf
+  WHERE n_words >= {min_words} AND n_words <= 100000
+    AND mwl >= 3.0 AND mwl <= 10.0 AND awf >= 0.8 AND sh >= 2
+),
+fp AS (
+  SELECT c.doc_id, md5(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus0 c JOIN q USING (doc_id)
+),
+rep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
+ex AS (SELECT f.doc_id FROM fp f JOIN rep ON f.fp = rep.fp AND f.doc_id = rep.keep_id),
+corpus AS (SELECT c.doc_id, c.text FROM corpus0 c JOIN ex USING (doc_id)),
+{_SHINGLES_SQL.strip()},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bandrows AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN common USING (doc_a, doc_b)
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= {tau}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+),
+comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
+drops AS (SELECT doc_id FROM comp WHERE mn < doc_id)
+SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
@@ -1092,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": "WITH " + _JACCARD_PAIRS_SQL.format(tau=0.8),
         "dedup_minhash_lsh": _minhash_sql(0.8),
         "dedup_simhash": _simhash_sql(),
+        "corpus_prepare": _corpus_prepare_sql(),
         "ann_topk": _ANN_TOPK_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,

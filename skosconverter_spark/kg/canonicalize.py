@@ -46,8 +46,12 @@ def connected_components(
     """
     if edges.isEmpty():
         # no equivalence edges (the common case for a plain web corpus):
-        # skip the eager-checkpoint fixpoint machinery entirely
-        return edges.sparkSession.createDataFrame([], "uri string, component string")
+        # skip the eager-checkpoint fixpoint machinery entirely. Empty
+        # result derives its schema from the input so callers with
+        # non-string node ids (e.g. long doc_ids) compose cleanly.
+        return edges.select(
+            F.col("src").alias("uri"), F.col("src").alias("component")
+        ).limit(0)
     comp = (
         edges.select(F.col("src").alias("uri"))
         .unionByName(edges.select(F.col("dst").alias("uri")))

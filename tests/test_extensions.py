@@ -666,3 +666,55 @@ def test_embedding_neardup_srp_properties(spark):
     assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in sigs.values())
     again = {r.vec_id: r.sig for r in srp_signature(e.limit(20)).collect()}
     assert sigs == again
+
+
+def test_prepare_corpus_cascade(spark):
+    """quality -> exact dedup -> near-dup CC -> survivors, planted cases
+    for every stage; keep policy = min doc_id throughout."""
+    from skosconverter_spark.operators.corpus_pipeline import (
+        corpus_stats,
+        prepare_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over a lazy dog in the green field "
+        "while the other animals of the forest watch it go by today "
+    ) * 2
+    docs = docs_df(
+        spark,
+        [
+            (1, base),                         # survives (representative)
+            (2, base.upper()),                 # exact dup of 1 (normalized)
+            (3, base + "bonus trailing words"),# near dup of 1 (high jaccard)
+            (4, "too short"),                  # quality-dropped
+            (5, base.replace("fox", "owl").replace("dog", "cat").replace("green", "red").replace("forest", "meadow")),
+        ],
+    )
+    out = prepare_corpus(docs, min_words=20)
+    kept = {r.doc_id for r in out.collect()}
+    assert 1 in kept and 5 in kept
+    assert 2 not in kept      # exact duplicate
+    assert 3 not in kept      # near duplicate (same CC component as 1)
+    assert 4 not in kept      # failed quality
+    assert set(out.columns) == {"doc_id", "text"}  # original columns survive
+
+    stats = corpus_stats(docs, min_words=20)
+    assert stats["input_docs"] == 5
+    assert stats["after_quality"] == 4
+    assert stats["dropped_duplicates"] == 2
+    assert stats["surviving_docs"] == len(kept)
+
+
+def test_prepare_corpus_with_sampling(spark):
+    from skosconverter_spark.operators.corpus_pipeline import prepare_corpus_ids
+
+    docs = docs_df(
+        spark,
+        [(i, f"the number {i} sits quietly of a page and it is fine here now ok") for i in range(200)],
+    )
+    full = {r.doc_id for r in prepare_corpus_ids(docs, min_words=5).collect()}
+    half = {
+        r.doc_id
+        for r in prepare_corpus_ids(docs, min_words=5, sample_fraction=0.5).collect()
+    }
+    assert half < full and 0.3 < len(half) / len(full) < 0.7
