@@ -43,6 +43,11 @@ def connected_components(
 
     Nodes not in ``edges`` are their own components by definition and
     need no rows here (callers coalesce on join).
+
+    Raises RuntimeError if the fixpoint has not converged after
+    ``max_iterations`` single-hop rounds (graph diameter > budget) —
+    a silently split component would mean silently-wrong downstream
+    results (e.g. retained near-duplicates in prepare_corpus).
     """
     if edges.isEmpty():
         # no equivalence edges (the common case for a plain web corpus):
@@ -59,6 +64,7 @@ def connected_components(
         .withColumn("component", F.col("uri"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(comp.withColumnRenamed("uri", "dst"), "dst")
@@ -84,7 +90,14 @@ def connected_components(
         )
         comp = new_comp
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the budget); raise "
+            "max_iterations"
+        )
     return comp
 
 
@@ -100,6 +113,7 @@ def transitive_closure(
     reach = edges.select(
         F.col("child").alias("descendant"), F.col("parent").alias("ancestor")
     ).distinct().localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         doubled = (
             reach.alias("a")
@@ -120,8 +134,15 @@ def transitive_closure(
         )
         if new_reach.count() == reach.count():
             reach = new_reach
+            converged = True
             break
         reach = new_reach
+    if not converged:
+        raise RuntimeError(
+            f"transitive_closure did not converge in {max_iterations} "
+            "doubling rounds (path depth exceeds 2^budget); raise "
+            "max_iterations"
+        )
     return reach
 
 

@@ -40,13 +40,15 @@ def prepare_corpus(
     neardup_threshold: float = 0.8,
     sample_fraction: float | None = None,
     salt: str = "",
+    cc_max_iterations: int = 25,
 ) -> DataFrame:
     """docs → the cleaned corpus (original columns, surviving rows).
 
     Deterministic keep policy at every stage: min doc_id represents an
     exact-duplicate group and a near-duplicate component."""
     survivors = prepare_corpus_ids(
-        docs, text_col, min_words, neardup_threshold, sample_fraction, salt
+        docs, text_col, min_words, neardup_threshold, sample_fraction, salt,
+        cc_max_iterations,
     )
     return docs.join(survivors, "doc_id", "semi")
 
@@ -58,10 +60,20 @@ def prepare_corpus_ids(
     neardup_threshold: float = 0.8,
     sample_fraction: float | None = None,
     salt: str = "",
+    cc_max_iterations: int = 25,
+    quality_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id): the surviving ids — the oracle-checkable projection."""
+    """(doc_id): the surviving ids — the oracle-checkable projection.
+
+    ``cc_max_iterations`` bounds the near-dup clustering fixpoint;
+    connected_components raises (rather than silently splitting a long
+    duplicate chain) if the duplicate graph's diameter exceeds it.
+    ``quality_ids`` lets a caller that already materialized the quality
+    pass (corpus_stats) reuse it instead of paying a second scan."""
     passed = (
-        quality_flags(docs, text_col, min_words=min_words)
+        quality_ids
+        if quality_ids is not None
+        else quality_flags(docs, text_col, min_words=min_words)
         .filter(F.col("keep"))
         .select("doc_id")
     )
@@ -84,7 +96,7 @@ def prepare_corpus_ids(
         )
         .distinct()
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, cc_max_iterations)
     drops = comp.filter(F.col("component") < F.col("uri")).select(
         F.col("uri").alias("doc_id")
     )
@@ -96,23 +108,36 @@ def prepare_corpus_ids(
 
 
 def corpus_stats(
-    docs: DataFrame, text_col: str = "text", **kwargs
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_fraction: float | None = None,
+    **kwargs,
 ) -> dict[str, int]:
     """Stage-by-stage row counts — the human-facing report (driver-sized
-    by construction: five integers)."""
+    by construction: a handful of integers). Dedup drops and sampling
+    drops are attributed to separate buckets, and the quality pass runs
+    once (counted from the pre-sample survivor set, not recomputed)."""
     n_input = docs.count()
     passed = (
         quality_flags(docs, text_col, min_words=kwargs.get("min_words", 50))
         .filter(F.col("keep"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     n_quality = passed.count()
-    survivors = prepare_corpus_ids(docs, text_col, **kwargs)
-    n_out = survivors.count()
+    deduped = prepare_corpus_ids(
+        docs, text_col, sample_fraction=None, quality_ids=passed, **kwargs
+    ).localCheckpoint(eager=True)
+    n_dedup = deduped.count()
+    if sample_fraction is not None:
+        n_out = hash_sample(deduped, sample_fraction, "doc_id").count()
+    else:
+        n_out = n_dedup
     return {
         "input_docs": n_input,
         "after_quality": n_quality,
         "surviving_docs": n_out,
         "dropped_quality": n_input - n_quality,
-        "dropped_duplicates": n_quality - n_out,
+        "dropped_duplicates": n_quality - n_dedup,
+        "dropped_sampled": n_dedup - n_out,
     }

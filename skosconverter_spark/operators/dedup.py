@@ -90,7 +90,7 @@ def ngram_jaccard_pairs(
     Inverted-index equi-join on the shingle (no cross join); jaccard
     from exact integers so any engine reproduces the double exactly.
     """
-    sh = doc_shingles(docs, text_col, n).cache()
+    sh = doc_shingles(docs, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")

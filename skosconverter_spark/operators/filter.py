@@ -101,6 +101,14 @@ def hash_sample(
 ) -> DataFrame:
     """Deterministic ~fraction sample: keep iff the md5-hex coordinate is
     below the fraction's 8-hex-digit threshold. Nested across fractions,
-    stable across runs/partitionings, disjoint across salts."""
-    thr = format(min(int(fraction * 16**8), 16**8), "08x")
+    stable across runs/partitionings, disjoint across salts.
+
+    fraction >= 1.0 keeps everything (early return: an 8-hex-digit
+    threshold cannot express 16**8, and a 9-char string compares
+    lexicographically below almost every 8-char hex key)."""
+    if fraction < 0:
+        raise ValueError(f"hash_sample fraction must be >= 0, got {fraction}")
+    if fraction >= 1.0:
+        return df
+    thr = format(int(fraction * 16**8), "08x")
     return df.filter(sample_key(F.col(key_col), salt) < F.lit(thr))

@@ -134,8 +134,8 @@ def frame_sample(media: DataFrame, frame_size: int = 64, step: int = 2) -> DataF
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames, sizes = [], [], [], []
-            for mid, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
-                if kind != "video" or payload is None:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
                     continue
                 for j, fr in enumerate(fake_frames(bytes(payload), frame_size, step)):
                     ids.append(mid)
@@ -147,8 +147,14 @@ def frame_sample(media: DataFrame, frame_size: int = 64, step: int = 2) -> DataF
                  "n_frame_bytes": sizes}
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        run, "media_id long, frame_idx int, frame binary, n_frame_bytes long"
+    # kind filter stays JVM-side: non-video payloads (~2/3 of the bytes
+    # at scale) must never cross the Arrow boundary just to be dropped
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            run, "media_id long, frame_idx int, frame binary, n_frame_bytes long"
+        )
     )
 
 
@@ -172,8 +178,8 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, thumbs = [], []
-            for mid, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
-                if kind != "image" or payload is None:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
                     continue
                 ids.append(mid)
                 thumbs.append(fake_resize(bytes(payload), out_w, out_h))
@@ -182,8 +188,11 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                  "thumbnail": thumbs}
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        run, "media_id long, width int, height int, thumbnail binary"
+    # kind filter stays JVM-side — see frame_sample
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, "media_id long, width int, height int, thumbnail binary")
     )
 
 

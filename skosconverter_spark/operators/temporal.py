@@ -18,14 +18,22 @@
 Ties: a right row AT the left row's timestamp is visible (``>=``), so
 the union orders right-side rows before left-side rows at equal ts.
 Right-side (key, ts) duplicates would make "the" latest row ambiguous
-in any engine; callers pre-aggregate the right side to unique (key, ts)
-— asserted here for determinism rather than silently picking.
+in any engine; callers pre-aggregate the right side to unique (key, ts).
+``asof_join(validate=True)`` enforces that contract with one extra
+aggregation (off by default — it costs a pass over the right side).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_micros(c: Column) -> Column:
+    """Exact microsecond epoch for TIMESTAMP or TIMESTAMP_NTZ (the NTZ →
+    LTZ cast is identity under the engine's fixed UTC session timezone,
+    matching DuckDB's epoch() interpretation of naive timestamps)."""
+    return F.unix_micros(c.cast("timestamp_ltz"))
 
 
 def asof_join(
@@ -34,13 +42,33 @@ def asof_join(
     key_cols: list[str],
     ts_col: str = "ts",
     right_prefix: str = "right_",
+    validate: bool = False,
 ) -> DataFrame:
     """Left rows + latest right payload with right.ts <= left.ts per key.
 
     Right payload columns (everything except keys+ts) come back as
     ``{right_prefix}{col}``, plus ``{right_prefix}{ts_col}`` (the matched
-    timestamp); all NULL when no right row precedes the left row."""
+    timestamp); all NULL when no right row precedes the left row.
+
+    ``validate=True`` raises ValueError if the right side has duplicate
+    (key, ts) rows — the contract that makes the matched payload
+    deterministic — at the cost of one aggregation over the right side."""
     payload = [c for c in right.columns if c not in (*key_cols, ts_col)]
+    if validate:
+        dup = (
+            right.groupBy(*key_cols, ts_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                "asof_join right side has duplicate (key, ts) rows, e.g. "
+                f"{tuple(r[c] for c in key_cols)} @ {r[ts_col]} x{r['count']}; "
+                "pre-aggregate the right side to unique (key, ts)"
+            )
     l_tag = left.select(
         *key_cols,
         F.col(ts_col),
@@ -95,7 +123,13 @@ def range_join(
     band. Any qualifying pair differs by at most one bucket, and each
     pair meets on exactly ONE replica (the left row's bucket), so no
     dedup pass is needed. Cost: 3× right replication + one hash join —
-    instead of a cross product."""
+    instead of a cross product.
+
+    Buckets are computed on second-truncated timestamps (cheap integer
+    math); the final verify filter is exact fractional-epoch so the
+    |Δts| ≤ gap contract holds to the microsecond. The truncation cannot
+    lose a pair: |Δ_exact| ≤ gap ⇒ the truncated difference is ≤ gap
+    (integer), so qualifying pairs still land within ±1 bucket."""
     gap = F.lit(max_gap_seconds)
     payload = [c for c in right.columns if c not in (*key_cols, ts_col)]
     l = left.withColumn("_b", F.floor(F.unix_timestamp(F.col(ts_col)) / gap))
@@ -115,10 +149,10 @@ def range_join(
         l.join(r, [*key_cols, "_b"])
         .filter(
             F.abs(
-                F.unix_timestamp(F.col(ts_col))
-                - F.unix_timestamp(F.col(f"{right_prefix}{ts_col}"))
+                _epoch_micros(F.col(ts_col))
+                - _epoch_micros(F.col(f"{right_prefix}{ts_col}"))
             )
-            <= gap
+            <= gap.cast("long") * 1_000_000
         )
         .drop("_b")
     )

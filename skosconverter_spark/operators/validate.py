@@ -355,38 +355,54 @@ def _labels_for(triples: DataFrame, uris: set[str]) -> dict[str, str]:
 
 
 def validation_report(
-    triples: DataFrame, config: EngineConfig
+    triples: DataFrame, config: EngineConfig, hard_cap: int = 10_000
 ) -> tuple[list[str], list[str]]:
     """Issues/warnings in the reference's check order and string formats
     (validate_all :104-127). Every truncated check is bounded
     server-side (limit(k+1) + count — never a full collect) and the
     label lookup covers only the uris the report will print, so the
     report stays driver-sized even on pathological corpora; the
-    underlying checks remain distributed DataFrames usable standalone."""
+    underlying checks remain distributed DataFrames usable standalone.
+
+    The reference emits one line per issue unbounded for the
+    never-truncated checks; ``hard_cap`` is this engine's defensive
+    ceiling on those — a corpus with a million duplicate URIs produces
+    ``hard_cap`` lines plus one explicit overflow line instead of an
+    OOM'd driver. At the default 10k the cap is invisible on any corpus
+    the reference itself could render."""
     issues: list[str] = []
     warnings: list[str] = []
 
+    def _capped(df: DataFrame) -> tuple[list, int]:
+        return _bounded(df, hard_cap)
+
+    def _overflow(lines: list[str], total: int, what: str) -> None:
+        if total > hard_cap:
+            lines.append(
+                f"... and {total - hard_cap} more {what} "
+                f"(report capped at {hard_cap})"
+            )
+
     # ---- run all checks first (bounded collects), then resolve labels ----
-    dup = duplicate_uris(triples).orderBy("seq").collect()
+    dup, dup_total = _capped(duplicate_uris(triples).orderBy("seq"))
     ml_rows, ml_total = _bounded(missing_labels(triples).orderBy("seq"), 5)
-    cycles = circular_references(triples, config).orderBy("seq").collect()
-    mpl = multiple_pref_labels(triples).orderBy("seq").collect()
+    cycles, cyc_total = _capped(circular_references(triples, config).orderBy("seq"))
+    mpl, mpl_total = _capped(multiple_pref_labels(triples).orderBy("seq"))
     scheme_labels = {
         r.scheme: r.scheme_label for r in scheme_table(triples, config).collect()
     }
-    tci = top_concept_inconsistencies(triples).orderBy("seq").collect()
-    selfr = self_references(triples).orderBy("seq", "kind").collect()
+    tci, tci_total = _capped(top_concept_inconsistencies(triples).orderBy("seq"))
+    selfr, selfr_total = _capped(self_references(triples).orderBy("seq", "kind"))
     cws_rows, cws_total = _bounded(
         concepts_without_schemes(triples).orderBy("seq"), 10
     )
     dl_rows, dl_total = _bounded(duplicate_labels(triples).orderBy("seq"), 5)
-    poly = polyhierarchy(triples).orderBy("seq").collect()
+    poly, poly_total = _capped(polyhierarchy(triples).orderBy("seq"))
     orph_rows, orph_total = _bounded(validator_orphans(triples).orderBy("seq"), 10)
-    deep = (
+    deep, deep_total = _capped(
         hierarchy_depths(triples, config)
         .filter(F.col("depth") > 7)
         .orderBy("seq")
-        .collect()
     )
 
     needed: set[str] = set()
@@ -416,6 +432,7 @@ def validation_report(
     # 1. duplicate URIs (:129-139)
     for r in dup:
         issues.append(f"Duplicate URI found {r['count']} times: {r.uri}")
+    _overflow(issues, dup_total, "duplicate URIs")
 
     # 2. missing labels (:141-155)
     for r in ml_rows:
@@ -427,6 +444,7 @@ def validation_report(
     for r in cycles:
         path_labels = [lab(u) for u in r.cycle]
         issues.append(f"Circular reference detected: {' -> '.join(path_labels)}")
+    _overflow(issues, cyc_total, "circular references")
 
     # 4. multiple prefLabels per language (:189-207)
     for r in mpl:
@@ -435,6 +453,7 @@ def validation_report(
             f"Concept '{lab(r.uri)}' has {len(r.labels)} preferred "
             f"labels{lang_desc}: {', '.join(r.labels)}"
         )
+    _overflow(issues, mpl_total, "concepts with multiple preferred labels")
 
     # 5. top-concept consistency (:209-238)
     for r in tci:
@@ -451,12 +470,14 @@ def validation_report(
                 f"Scheme '{sl}' has concepts claiming topConceptOf "
                 f"but missing hasTopConcept: {shown}"
             )
+    _overflow(warnings, tci_total, "top-concept inconsistencies")
 
     # 6. self references (:240-253)
     for r in selfr:
         issues.append(
             f"Concept '{lab(r.uri)}' has itself as {r.kind} concept"
         )
+    _overflow(issues, selfr_total, "self references")
 
     # 7. concepts without schemes (:255-270)
     if cws_rows:
@@ -483,6 +504,7 @@ def validation_report(
                 f"  - '{lab(r.uri)}' has broader concepts: "
                 f"{', '.join(lab(p) for p in r.parents)}"
             )
+        _overflow(warnings, poly_total, "polyhierarchical concepts")
 
     # 10. orphan concepts (:311-338)
     if orph_rows:
@@ -497,6 +519,7 @@ def validation_report(
         warnings.append("Very deep hierarchies detected (>7 levels):")
         for r in deep:
             warnings.append(f"  - {lab(r.root)}: {r.depth} levels")
+        _overflow(warnings, deep_total, "deep hierarchies")
 
     return issues, warnings
 
