@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,6 +25,10 @@ from pyspark.sql import functions as F
 from skosconverter_spark.config import SKOS_ALT_LABEL, SKOS_PREF_LABEL
 
 _WORD_RE = re.compile(r"\w+(?:'\w+)?", re.UNICODE)
+# split-with-capture variant: re.split keeps the captured tokens at odd
+# indices, yielding the exact finditer token sequence plus the gaps —
+# one C-level pass per batch instead of a Python loop per token
+_WORD_SPLIT_RE = re.compile(r"(\w+(?:'\w+)?)", re.UNICODE)
 
 MENTION_SCHEMA = (
     "url string, surface string, norm_surface string, begin int, end int"
@@ -90,40 +95,59 @@ def scan_mentions(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
     trie_bc = spark.sparkContext.broadcast(_Trie(surfaces))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized kernel: ONE regex split over the whole Arrow batch
+        # (texts joined on \x00, which no token can span), offsets by
+        # numpy cumsum, token lowering + the first-token gate as C-level
+        # pandas ops. The Python window walk runs only on gate HITS —
+        # typically a small fraction of the token stream — instead of
+        # paying a Python-level loop iteration per token.
         trie = trie_bc.value
-        first_tokens = trie.first_tokens
+        first_tokens = list(trie.first_tokens)
         prefixes = trie.prefixes
         surfaces = trie.surfaces
         max_len = trie.max_len
         for pdf in batches:
             out = {k: [] for k in ("url", "surface", "norm_surface", "begin", "end")}
-            for url, text in zip(pdf["url"], pdf["text"]):
-                if not text:
-                    continue
-                words = [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(text)]
-                lowered = [w[0].lower() for w in words]
-                n = len(words)
-                for i in range(n):
-                    # hot-path gate: one string hash per non-starting token
-                    # (identical semantics to the l=1 prefix check below —
-                    # a window can only extend if its first token starts
-                    # some surface)
-                    if lowered[i] not in first_tokens:
-                        continue
-                    for l in range(1, max_len + 1):
-                        if i + l > n:
-                            break
-                        window = tuple(lowered[i : i + l])
-                        if window not in prefixes:
-                            break
-                        if window in surfaces:
-                            begin = words[i][1]
-                            end = words[i + l - 1][2]
-                            out["url"].append(url)
-                            out["surface"].append(text[begin:end])
-                            out["norm_surface"].append(" ".join(window))
-                            out["begin"].append(begin)
-                            out["end"].append(end)
+            texts = pdf["text"].fillna("").tolist()
+            urls = pdf["url"].tolist()
+            joined = "\x00".join(texts)
+            parts = _WORD_SPLIT_RE.split(joined)
+            lens = pd.Series(parts, dtype="object").str.len().to_numpy()
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            tok = parts[1::2]  # captured tokens live at odd indices
+            if not tok:
+                yield pd.DataFrame(out, columns=list(out))
+                continue
+            tok_begin = starts[1::2]  # global offsets into `joined`
+            tok_end = tok_begin + lens[1::2]
+            lowered_s = pd.Series(tok, dtype="object").str.lower()
+            lowered = lowered_s.to_numpy()
+            # map each token to its source row: texts start at boundaries
+            # of the joined string (previous text length + 1 separator)
+            text_off = np.zeros(len(texts) + 1, dtype=np.int64)
+            np.cumsum([len(t) + 1 for t in texts], out=text_off[1:])
+            row_of = np.searchsorted(text_off, tok_begin, side="right") - 1
+            # row token ranges (row_of is non-decreasing)
+            row_tok_end = np.searchsorted(row_of, np.arange(len(texts)), side="right")
+            hits = np.flatnonzero(lowered_s.isin(first_tokens).to_numpy())
+            for i in hits:
+                r = row_of[i]
+                n = row_tok_end[r]
+                for l in range(1, max_len + 1):
+                    if i + l > n:
+                        break
+                    window = tuple(lowered[i : i + l])
+                    if window not in prefixes:
+                        break
+                    if window in surfaces:
+                        gb, ge = tok_begin[i], tok_end[i + l - 1]
+                        off = text_off[r]
+                        out["url"].append(urls[r])
+                        out["surface"].append(joined[gb:ge])
+                        out["norm_surface"].append(" ".join(window))
+                        out["begin"].append(int(gb - off))
+                        out["end"].append(int(ge - off))
             yield pd.DataFrame(out, columns=list(out))
 
     return (

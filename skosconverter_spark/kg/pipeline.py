@@ -17,9 +17,14 @@ completed-stage with no extra bookkeeping. (This container has plain
 parquet; on a real deployment these writes are Iceberg commits and the
 fingerprint is the input snapshot id.)
 
-Lineage/metrics (north_rule): each stage emits per-partition row counts
-(spark_partition_id groupBy) into ``stage_metrics`` parquet alongside
-the checkpoint.
+Lineage/metrics (north_rule): each stage emits per-output-partition row
+counts into ``stage_metrics`` parquet alongside the checkpoint. The
+counts come from the written parquet FOOTERS (one tiny metadata read
+per file, driver-side) — the local analogue of reading an Iceberg
+manifest — so lineage costs zero extra Spark jobs and zero data scans.
+Through round 2 this was a full second scan of every stage's output
+(groupBy(spark_partition_id).count), which dominated the pipeline's
+measured 8→32 scaling (BASELINE.md: eff 0.27).
 """
 
 from __future__ import annotations
@@ -69,26 +74,20 @@ class StageRunner:
         if debug:
             print(f"    [{stage}] write: {time.time() - t0:.2f}s", flush=True)
         out = self.spark.read.parquet(str(data))
-        # one job: per-partition lineage counts; total rows derived from it
-        t1 = time.time()
-        per_part_rows = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"))
-            .collect()
-        )
-        if debug:
-            print(f"    [{stage}] metrics: {time.time() - t1:.2f}s", flush=True)
         wall_ms = int((time.time() - t0) * 1000)
-        rows = sum(r.rows_out for r in per_part_rows)
-        self.spark.createDataFrame(
+        # per-partition lineage from the written files' parquet footers —
+        # metadata-only (the Iceberg-manifest analogue), no Spark job, no
+        # second scan of the stage output
+        per_part_rows = _footer_row_counts(data)
+        rows = sum(n for _, n in per_part_rows)
+        _write_metrics_parquet(
+            metrics,
             [
-                (stage, r.partition_id, r.rows_out, wall_ms, input_fingerprint)
-                for r in per_part_rows
+                (stage, pid, n, wall_ms, input_fingerprint)
+                for pid, n in per_part_rows
             ]
             or [(stage, -1, 0, wall_ms, input_fingerprint)],
-            "stage string, partition_id int, rows_out long, wall_ms long, "
-            "input_fingerprint string",
-        ).coalesce(1).write.mode("overwrite").parquet(str(metrics))
+        )
         manifest.parent.mkdir(parents=True, exist_ok=True)
         manifest.write_text(
             json.dumps(
@@ -96,7 +95,7 @@ class StageRunner:
                     "stage": stage,
                     "input_fingerprint": input_fingerprint,
                     "rows": rows,
-                    "wall_ms": int((time.time() - t0) * 1000),
+                    "wall_ms": wall_ms,
                 },
                 indent=2,
             )
@@ -107,6 +106,50 @@ class StageRunner:
         """All stages' per-partition lineage metrics."""
         paths = [str(p) for p in Path(self.root).glob("*/metrics") if p.exists()]
         return self.spark.read.parquet(*paths)
+
+
+def _footer_row_counts(data: Path) -> list[tuple[int, int]]:
+    """(write_partition_id, rows) per output file, read from parquet
+    footers only. The file name's task index (part-NNNNN-...) is the
+    writing partition — true WRITE lineage, unlike a read-back
+    spark_partition_id groupBy (which reports file-split read tasks)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(data.glob("part-*.parquet")):
+        out.append((int(f.name.split("-")[1]), pq.ParquetFile(f).metadata.num_rows))
+    return out
+
+
+_METRICS_SCHEMA = (
+    ("stage", "string"),
+    ("partition_id", "int32"),
+    ("rows_out", "int64"),
+    ("wall_ms", "int64"),
+    ("input_fingerprint", "string"),
+)
+
+
+def _write_metrics_parquet(metrics: Path, rows: list[tuple]) -> None:
+    """Driver-side parquet write of a handful of lineage rows (types
+    matching what the Spark writer produced through round 2, so old and
+    new metrics dirs union cleanly in stage_metrics)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if metrics.exists():
+        shutil.rmtree(metrics)
+    metrics.mkdir(parents=True, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            name: pa.array(cols[i], type=getattr(pa, typ)())
+            for i, (name, typ) in enumerate(_METRICS_SCHEMA)
+        }
+    )
+    pq.write_table(table, metrics / "part-00000.parquet")
 
 
 def fingerprint_of(df: DataFrame, sample_cols: list[str]) -> str:
@@ -138,10 +181,14 @@ def run_pipeline(
     fp_pages = fingerprint_of(pages, ["url"])
     fp_vocab = fingerprint_of(vocab_triples, ["subj", "pred", "obj"])
 
+    # checkpoint pruning: no downstream stage re-reads the raw html —
+    # `text` IS the extraction product and html is reproducible from the
+    # input table — so the binary payload (roughly half the stage's
+    # bytes) never hits the checkpoint disk
     pages_text = runner.run_stage(
         "10_extract",
         fp_pages,
-        lambda: salted_repartition(extract_text(pages), parts),
+        lambda: salted_repartition(extract_text(pages), parts).drop("html"),
     )
 
     # stage DAG: mentions and page-triples only depend on extract — submit
