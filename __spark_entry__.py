@@ -301,6 +301,12 @@ def q_text_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_tfidf(spark, sf_dir):
+    from skosconverter_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 def q_corpus_quality_filter(spark, sf_dir):
     from skosconverter_spark.operators.filter import quality_flags
 
@@ -470,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
+        "text_tfidf": q_text_tfidf,
         "corpus_quality_filter": q_corpus_quality_filter,
         "corpus_hash_sample": q_corpus_hash_sample,
         "multimodal_byte_stats": q_multimodal_byte_stats,
@@ -978,6 +985,29 @@ SELECT d.doc_id,
 FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 """
 
+_TEXT_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(n_docs / d.df::DOUBLE), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5
+"""
+
 _TEXT_WINNOW_SQL = r"""
 WITH n AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -1199,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_langid": _langid_sql(),
         "text_winnow": _TEXT_WINNOW_SQL,
+        "text_tfidf": _TEXT_TFIDF_SQL,
         "corpus_quality_filter": _QUALITY_FILTER_SQL,
         "corpus_hash_sample": _HASH_SAMPLE_SQL,
         "multimodal_byte_stats": _MULTIMODAL_SQL,

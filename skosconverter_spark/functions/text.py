@@ -115,6 +115,48 @@ def winnow_fingerprints(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf, rank): each document's top-k terms
+    by tf·idf — the classic keyword-extraction / feature-selection pass
+    a corpus pipeline runs before topic bucketing or quality triage.
+
+    Deterministic and oracle-matched: tokenization is the same
+    lower/whitespace-normalize/split the dedup shingles use, idf is
+    ln(n_docs/df) rounded to 6 places BEFORE ranking (so the ordering
+    compares identical values in any IEEE engine), ties break by term.
+
+    Plan shape at scale: one explode + two hash aggregations (doc-term,
+    then term), a broadcast of the one-row corpus count, and a doc-keyed
+    window for top-k — no joins wider than the term dictionary."""
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS_NORM, " ")), " "),
+        lambda t: t != F.lit(""),
+    )
+    tf = (
+        df.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # language identification (character n-gram heuristic, Arrow-batched)
 # --------------------------------------------------------------------------

@@ -234,21 +234,36 @@ def srp_signature(
     )
 
 
-def embedding_neardup_srp(
+def srp_candidates(
     vectors: DataFrame,
-    threshold: float,
     bits: int = 16,
     bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_flips: int = 0,
 ) -> DataFrame:
-    """The LSH-bucketed near-dup alternative to the IVF gate: band the
-    SRP signature (bands × bits/bands), self-join per band bucket for
-    candidates, verify with exact cosine ≥ τ. Identical vectors share
-    every band; near-identical ones share some band with probability
-    following the LSH s-curve. Same shuffle shape as the minhash text
-    dedup — a uniform equi-join on (band, bucket), never all-pairs."""
+    """(id_a, id_b) candidate pairs from banded SRP signatures.
+
+    ``probe_flips=1`` enables multi-probe (Lv et al. 2007 applied to the
+    Charikar signature): the probe side of the band join additionally
+    visits the r buckets at Hamming distance 1, so a pair is a candidate
+    if some band differs by AT MOST ONE bit instead of zero. Per-band
+    collision rises from p^r to p^r + r·p^(r-1)(1-p) — the recall lever
+    loose thresholds need — while buckets stay r bits fine-grained (the
+    alternative, shorter bands, collapses the bucket space and the
+    Σ|bucket|² candidate cost with it). Multi-probe only pays off with
+    LONG bands: at the flips=0 default (16×4, r=4) probing lifts random
+    pairs to ~0.31 per-band collision (near-all-pairs); use r≥8, e.g.
+    bits=96, bands=12, where the measured operating point on the synthetic
+    corpus is recall 0.81 at τ=0.35 with 36% candidate fraction. Probing
+    replicates ONE join side (r+1)×; one-sided probing suffices because
+    a 1-bit band difference between x and y is repaired by flipping that
+    bit on either side.
+    Only 0 and 1 flips are supported (flip-2 replication is r² and the
+    s-curve gets too flat to verify cheaply)."""
+    if probe_flips not in (0, 1):
+        raise ValueError(f"probe_flips must be 0 or 1, got {probe_flips}")
     r = bits // bands
     sig = srp_signature(vectors, bits, dim, id_col, vec_col)
     band_structs = [
@@ -264,12 +279,57 @@ def embedding_neardup_srp(
         .localCheckpoint(eager=True)
     )
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    if probe_flips == 1:
+        flip = lambda c: F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
+        variants = [F.col("bucket")] + [
+            F.concat(
+                F.substring("bucket", 1, i),
+                flip(F.substring("bucket", i + 1, 1)),
+                F.substring("bucket", i + 2, r - i - 1),
+            )
+            for i in range(r)
+        ]
+        a = band_rows.select(
+            F.col(id_col).alias("id_a"),
+            "band",
+            F.explode(F.array(*variants)).alias("bucket"),
+        )
     b_ = band_rows.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    candidates = (
+    return (
         a.join(b_, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def embedding_neardup_srp(
+    vectors: DataFrame,
+    threshold: float,
+    bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_flips: int = 0,
+) -> DataFrame:
+    """The LSH-bucketed near-dup alternative to the IVF gate: band the
+    SRP signature (bands × bits/bands), self-join per band bucket for
+    candidates (optionally multi-probed — see srp_candidates), verify
+    with exact cosine ≥ τ. Identical vectors share every band;
+    near-identical ones share some band with probability following the
+    LSH s-curve. Same shuffle shape as the minhash text dedup — a
+    uniform equi-join on (band, bucket), never all-pairs.
+
+    Measured on the synthetic sf0.001 corpus at τ=0.35 (recall vs the
+    exact all-pairs verifier; cost = candidate fraction of n²/2):
+    default 16×4 flips=0 → recall 0.54 @ 24%; the production gate is
+    bits=96, bands=12, probe_flips=1 → recall 0.81 @ 36% (pinned in
+    tests/test_round3_fixes.py). At this loose a τ, random pairs agree
+    per bit with p≈0.5, so ~1/3 candidate fraction is near the floor;
+    tighter thresholds (τ≥0.8, real near-dup) prune far harder."""
+    candidates = srp_candidates(
+        vectors, bits, bands, dim, id_col, vec_col, probe_flips
     )
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))

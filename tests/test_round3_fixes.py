@@ -167,6 +167,59 @@ def test_media_kind_filter_stays_jvm_side(spark):
 
 
 # --------------------------------------------------------------------------
+# SRP-LSH multi-probe recall gate (VERDICT #4: 0.54 recall at τ=0.35 was
+# too thin for a production near-dup gate)
+# --------------------------------------------------------------------------
+
+
+def test_srp_multiprobe_recall_gate(spark):
+    from skosconverter_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_srp,
+        srp_candidates,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(e, 0.35).collect()}
+    srp0 = {
+        (r.id_a, r.id_b) for r in embedding_neardup_srp(e, 0.35).collect()
+    }
+    # the production-gate configuration for loose thresholds: long bands
+    # (r=8 keeps the bucket space fine-grained) + 1-bit multi-probe (the
+    # recall lever). Tuned empirically on this corpus: 96x12 flips=1 gives
+    # recall 0.813 at 36% candidate fraction; the old default (16x4) with
+    # flips=1 hit recall 0.93 but at 78% of all pairs — all-pairs in
+    # disguise. At τ=0.35 random pairs agree per bit with p≈0.5, so ~1/3
+    # candidate fraction is near the floor any SRP scheme can reach.
+    srp1 = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_srp(
+            e, 0.35, bits=96, bands=12, probe_flips=1
+        ).collect()
+    }
+    # verified candidates only — both are subsets of the exact answer
+    assert srp0 <= exact and srp1 <= exact
+    recall0 = len(srp0) / len(exact)
+    recall1 = len(srp1) / len(exact)
+    assert recall1 >= 0.8, f"multi-probe recall {recall1:.2f} < 0.8"
+    assert recall1 > recall0
+    # cost disclosure: the multi-probe gate must still prune most of the
+    # n²/2 pair space (otherwise it is all-pairs in disguise)
+    cand1 = srp_candidates(e, bits=96, bands=12, probe_flips=1).count()
+    all_pairs = n * (n - 1) // 2
+    assert cand1 < 0.5 * all_pairs, f"{cand1} candidates of {all_pairs} pairs"
+    print(
+        f"srp recall τ=0.35: flips=0 {recall0:.3f}, flips=1 {recall1:.3f}; "
+        f"candidates {cand1}/{all_pairs} ({cand1 / all_pairs:.1%})"
+    )
+    with pytest.raises(ValueError):
+        srp_candidates(e, probe_flips=2)
+
+
+# --------------------------------------------------------------------------
 # corpus_stats attribution (ADVICE: sampled rows counted as duplicates)
 # --------------------------------------------------------------------------
 
@@ -193,6 +246,34 @@ def test_corpus_stats_sampling_attribution(spark):
     assert plain["dropped_sampled"] == 0
     assert plain["dropped_duplicates"] == 1
     assert plain["surviving_docs"] == 100
+
+
+# --------------------------------------------------------------------------
+# tf-idf keyword extraction (new operator, round 3)
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_known_values(spark):
+    import math
+
+    from skosconverter_spark.functions.text import tfidf_top_terms
+
+    docs = docs_df(
+        spark,
+        [(1, "apple banana  apple"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.tfidf)
+        for r in tfidf_top_terms(docs, k=5).collect()
+    }
+    ln3, ln15 = round(2 * math.log(3), 6), round(math.log(1.5), 6)
+    assert got[(1, 1)] == ("apple", 2, 1, ln3)
+    assert got[(1, 2)][0] == "banana"
+    # doc 2: banana and cherry tie on tfidf -> term asc breaks it
+    assert got[(2, 1)] == ("banana", 1, 2, ln15)
+    assert got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)] == ("cherry", 3, 2, round(3 * math.log(1.5), 6))
+    assert len(got) == 5
 
 
 # --------------------------------------------------------------------------
