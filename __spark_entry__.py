@@ -319,6 +319,65 @@ def q_corpus_hash_sample(spark, sf_dir):
     return hash_sample(_docs(spark, sf_dir), 0.1).select("doc_id")
 
 
+def q_corpus_stratified_sample(spark, sf_dir):
+    from skosconverter_spark.operators.filter import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 0.25, "fr": 1.0},
+        strata_col="lang",
+        default_fraction=0.05,
+    ).select("doc_id", "lang")
+
+
+def q_corpus_repetition(spark, sf_dir):
+    from skosconverter_spark.operators.filter import repetition_flags
+
+    return repetition_flags(_docs(spark, sf_dir))
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Eval set = every 10th document; corpus = the rest plus a planted
+    contaminated copy of each eval doc (same convention as the dedup
+    oracles' planted duplicates) so the 8-gram overlap gate has known
+    positives at every scale."""
+    from skosconverter_spark.operators.decontaminate import contaminated_docs
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text").unionAll(
+        ev.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+        )
+    )
+    return contaminated_docs(corpus, ev, n=8)
+
+
+def q_text_ngram_topk(spark, sf_dir):
+    from skosconverter_spark.functions.text import ngram_topk
+
+    return ngram_topk(_docs(spark, sf_dir), n=2, k=20)
+
+
+def q_text_pii(spark, sf_dir):
+    from skosconverter_spark.functions.text import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+def q_corpus_length_deciles(spark, sf_dir):
+    from skosconverter_spark.functions.text import corpus_length_deciles
+
+    return corpus_length_deciles(_docs(spark, sf_dir))
+
+
+def q_emb_label_centroids(spark, sf_dir):
+    from skosconverter_spark.operators.similarity import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -479,6 +538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "corpus_quality_filter": q_corpus_quality_filter,
         "corpus_hash_sample": q_corpus_hash_sample,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_repetition": q_corpus_repetition,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_length_deciles": q_corpus_length_deciles,
+        "text_ngram_topk": q_text_ngram_topk,
+        "text_pii": q_text_pii,
+        "emb_label_centroids": q_emb_label_centroids,
         "multimodal_byte_stats": q_multimodal_byte_stats,
         "multimodal_features": q_multimodal_features,
         "events_window_agg": q_events_window_agg,
@@ -1059,6 +1125,157 @@ SELECT doc_id FROM documents
 WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '{format(int(0.1 * 16**8), "08x")}'
 """
 
+
+def _frac_hex(fraction: float) -> str:
+    # mirror of operators.filter.fraction_threshold
+    return "g" if fraction >= 1.0 else format(int(fraction * 16**8), "08x")
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+      CASE lang
+        WHEN 'de' THEN '{_frac_hex(0.25)}'
+        WHEN 'en' THEN '{_frac_hex(0.5)}'
+        WHEN 'fr' THEN '{_frac_hex(1.0)}'
+        ELSE '{_frac_hex(0.05)}'
+      END
+"""
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS ts
+  FROM documents
+),
+sh2 AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS s
+  FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts), 1))) AS t(i)
+),
+st2 AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist FROM sh2 GROUP BY 1),
+sh3 AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)
+),
+st3 AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist FROM sh3 GROUP BY 1),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+  GROUP BY 1, 2
+),
+ws AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_words,
+         round(max(tf)::DOUBLE / sum(tf)::DOUBLE, 6) AS top_word_share
+  FROM tfc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(w.n_words, 0) AS n_words,
+       w.top_word_share,
+       CASE WHEN s2.total > 0 THEN round(1 - s2.dist::DOUBLE / s2.total::DOUBLE, 6) END
+         AS dup_2gram_frac,
+       CASE WHEN s3.total > 0 THEN round(1 - s3.dist::DOUBLE / s3.total::DOUBLE, 6) END
+         AS dup_3gram_frac,
+       coalesce(coalesce(w.n_words, 0) > 0
+                AND w.top_word_share <= 0.2
+                AND coalesce(CASE WHEN s2.total > 0
+                             THEN round(1 - s2.dist::DOUBLE / s2.total::DOUBLE, 6) END, 0) <= 0.1
+                AND coalesce(CASE WHEN s3.total > 0
+                             THEN round(1 - s3.dist::DOUBLE / s3.total::DOUBLE, 6) END, 0) <= 0.08,
+                FALSE) AS keep
+FROM documents d
+LEFT JOIN ws w USING (doc_id)
+LEFT JOIN st2 s2 USING (doc_id)
+LEFT JOIN st3 s3 USING (doc_id)
+"""
+
+_DECONTAMINATE_SQL = r"""
+WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+  UNION ALL SELECT doc_id + 1000000, text || ' extra tail' FROM ev
+),
+ctoks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+  FROM corpus
+),
+csh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+         ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+  FROM ctoks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)
+),
+etoks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+  FROM ev
+),
+esh AS (
+  SELECT DISTINCT
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+         ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+  FROM etoks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)
+)
+SELECT c.doc_id, count(*) AS n_shared
+FROM csh c JOIN esh e USING (shingle)
+GROUP BY 1
+"""
+
+_NGRAM_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT ts[i] || ' ' || ts[i+1] AS ngram
+  FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts), 1))) AS t(i)
+),
+c AS (SELECT ngram, count(*) AS n_occurrences FROM sh GROUP BY 1),
+r AS (
+  SELECT ngram, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, ngram) AS rank
+  FROM c
+)
+SELECT ngram, n_occurrences, rank FROM r WHERE rank <= 20
+"""
+
+_PII_SQL = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         AS n_emails,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(text, '\+?\d[\d()\- ]{6,}\d')) AS n_phones
+FROM documents
+"""
+
+_LENGTH_DECILES_SQL = r"""
+WITH r AS (
+  SELECT doc_id, n_chars AS len,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT decile, count(*) AS n_docs, min(len) AS min_len, max(len) AS max_len,
+       round(sum(len)::DOUBLE / count(*)::DOUBLE, 6) AS mean_len
+FROM r GROUP BY 1
+"""
+
+_LABEL_CENTROIDS_SQL = r"""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         round(unnest(embedding)::DOUBLE, 6)::DECIMAL(18,6) AS e
+  FROM embeddings
+)
+SELECT label, pos, count(*) AS n_vectors,
+       round(sum(e)::DOUBLE / count(*)::DOUBLE, 6) AS centroid
+FROM e GROUP BY 1, 2
+"""
+
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1232,6 +1449,13 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": _TEXT_TFIDF_SQL,
         "corpus_quality_filter": _QUALITY_FILTER_SQL,
         "corpus_hash_sample": _HASH_SAMPLE_SQL,
+        "corpus_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "corpus_repetition": _REPETITION_SQL,
+        "corpus_decontaminate": _DECONTAMINATE_SQL,
+        "corpus_length_deciles": _LENGTH_DECILES_SQL,
+        "text_ngram_topk": _NGRAM_TOPK_SQL,
+        "text_pii": _PII_SQL,
+        "emb_label_centroids": _LABEL_CENTROIDS_SQL,
         "multimodal_byte_stats": _MULTIMODAL_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "events_window_agg": _EVENTS_WINDOW_SQL,

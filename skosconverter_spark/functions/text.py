@@ -157,6 +157,85 @@ def tfidf_top_terms(
     )
 
 
+def ngram_topk(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(ngram, n_occurrences, rank): the corpus's k most frequent word
+    n-grams — the vocabulary/phrase census run before tokenizer training
+    and contamination audits.
+
+    Counts every OCCURRENCE (not per-doc presence): one explode of the
+    shingle array, one hash aggregation, then a TakeOrdered top-k
+    (orderBy+limit — never a single-partition global sort; the ordering
+    key (count desc, ngram asc) is total so the result is deterministic).
+    rank is attached after the k-row truncation — a window over k rows,
+    not over the corpus."""
+    from skosconverter_spark.operators.dedup import shingles
+
+    counts = (
+        df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
+def corpus_length_deciles(df: DataFrame, len_col: str = "n_chars") -> DataFrame:
+    """(decile, n_docs, min_len, max_len, mean_len): the exact corpus
+    length distribution — the first diagnostic anyone pulls on a new
+    crawl snapshot. ntile(10) over a TOTAL order (len, doc_id) so tie
+    placement is deterministic; mean from an exact integer sum divided
+    once, so any engine reproduces the double bit-for-bit."""
+    w = Window.orderBy(F.col(len_col), F.col("doc_id"))
+    return (
+        df.select("doc_id", F.col(len_col).alias("len"))
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("len").alias("min_len"),
+            F.max("len").alias("max_len"),
+            F.round(
+                F.sum("len").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_len"),
+        )
+    )
+
+
+# PII patterns: RE2 ∩ java.util.regex compatible (no lookaround, no
+# backrefs) so the Spark plan and the DuckDB oracle match byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d()\- ]{6,}\d"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ips, n_phones): the standard
+    pre-release scrub — emails, IPv4 addresses and phone-shaped digit
+    runs replaced by typed placeholder tokens, with per-document match
+    counts (counted on the ORIGINAL text; replacement order email→ip→
+    phone so a longer match is never half-eaten by a shorter class).
+
+    Pure regexp expressions — JVM-side, no Python. The synthetic corpus
+    contains no PII, so the oracle checks the zero-hit passthrough;
+    the planted-PII pytest (tests/test_round3_fixes.py) checks the
+    actual redaction semantics."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+    )
+
+
 # --------------------------------------------------------------------------
 # language identification (character n-gram heuristic, Arrow-batched)
 # --------------------------------------------------------------------------

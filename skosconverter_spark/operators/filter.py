@@ -89,6 +89,80 @@ def corpus_filter(df: DataFrame, text_col: str = "text", **bounds) -> DataFrame:
     return df.join(kept, "doc_id", "semi")
 
 
+def repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    max_top_word_share: float = 0.2,
+    max_dup_2gram_frac: float = 0.1,
+    max_dup_3gram_frac: float = 0.08,
+) -> DataFrame:
+    """(doc_id, n_words, top_word_share, dup_2gram_frac, dup_3gram_frac,
+    keep): the Gopher repetition-removal signals (Rae et al. 2021 §A1.1
+    "repetitious documents") in their exactly-reproducible form — the
+    share of the most frequent word, and the duplicated-n-gram fraction
+    (1 − distinct/total) for word 2- and 3-grams.
+
+    Plan shape: the n-gram fractions are pure array expressions (the
+    shingle array is evaluated once per row; sizes of it and its
+    array_distinct — no explode, no shuffle). The word histogram needs
+    one explode + one doc-keyed hash aggregation; top-word share is
+    max(tf)/sum(tf) from that single pass. One shuffle total, then a
+    doc_id join back to the expression-only side.
+
+    All ratios are round(·, 6) of exact integer arithmetic, so the SQL
+    oracle reproduces keep/drop bit-for-bit."""
+    from skosconverter_spark.operators.dedup import norm_tokens, shingles
+
+    t = F.col(text_col)
+
+    def dup_frac(n: int) -> Column:
+        arr = shingles(t, n)
+        total = F.size(arr)
+        return F.when(
+            total > 0,
+            F.round(
+                1.0
+                - F.size(F.array_distinct(arr)).cast("double")
+                / total.cast("double"),
+                6,
+            ),
+        )
+
+    per_doc = df.select(
+        "doc_id",
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    tf = (
+        df.select("doc_id", F.explode(norm_tokens(t)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    word_stats = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.round(F.max("tf").cast("double") / F.sum("tf").cast("double"), 6).alias(
+            "top_word_share"
+        ),
+    )
+    out = per_doc.join(word_stats, "doc_id", "left").withColumn(
+        "n_words", F.coalesce(F.col("n_words"), F.lit(0))
+    )
+    keep = (
+        (F.col("n_words") > 0)
+        & (F.col("top_word_share") <= max_top_word_share)
+        & (F.coalesce(F.col("dup_2gram_frac"), F.lit(0.0)) <= max_dup_2gram_frac)
+        & (F.coalesce(F.col("dup_3gram_frac"), F.lit(0.0)) <= max_dup_3gram_frac)
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "top_word_share",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        keep.alias("keep"),
+    )
+
+
 def sample_key(key: Column, salt: str = "") -> Column:
     """First 8 hex chars of md5(key||salt) — the sampling coordinate."""
     return F.substring(
@@ -112,3 +186,40 @@ def hash_sample(
         return df
     thr = format(int(fraction * 16**8), "08x")
     return df.filter(sample_key(F.col(key_col), salt) < F.lit(thr))
+
+
+def fraction_threshold(fraction: float) -> str:
+    """The 8-hex-digit md5 threshold for a fraction; 'g' (> every hex
+    char) encodes keep-everything so a CASE over strata needs no special
+    branch."""
+    if fraction < 0:
+        raise ValueError(f"fraction must be >= 0, got {fraction}")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * 16**8), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling — the corpus-mixing move
+    (downweight one language/source, keep another whole) every
+    pretraining pipeline runs when balancing data.
+
+    Same coordinate as ``hash_sample`` (first 8 md5 hex chars of
+    key||salt), so per-stratum samples inherit its properties: nested
+    across fractions, stable under repartitioning, disjoint across
+    salts — and a row's fate never depends on which stratum OTHER rows
+    are in. The per-stratum threshold is a literal CASE expression:
+    pure Catalyst filter, no shuffle, no Python."""
+    thr = F.lit(fraction_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(fraction_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(sample_key(F.col(key_col), salt) < thr)

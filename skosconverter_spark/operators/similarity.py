@@ -193,6 +193,38 @@ def embedding_neardup_pairs(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, pos, n_vectors, centroid): the element-wise mean vector
+    per label — k-means-style centroid computation, the building block
+    of IVF (re)training and per-cluster drift monitoring.
+
+    Determinism across engines: floating sums are order-dependent under
+    distributed partial aggregation, so each element is rounded to 6
+    places and summed as DECIMAL(18,6) (exact, order-free); the single
+    final division back to double is then bit-stable anywhere. Plan:
+    one posexplode + one hash aggregation on (label, pos) — dim × labels
+    output rows, map-side combined, one shuffle."""
+    e = F.round(F.col("e").cast("double"), 6).cast("decimal(18,6)")
+    return (
+        vectors.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "e"),
+        )
+        .select("label", "pos", e.alias("e"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum("e").cast("double") / F.count("*").cast("double"), 6
+            ).alias("centroid"),
+        )
+    )
+
+
 def srp_signs(bits: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane components for SRP-LSH (Charikar 2002
     random-hyperplane signatures): component (j, d) = +1 iff the first

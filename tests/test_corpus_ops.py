@@ -1,0 +1,190 @@
+"""Round-3 corpus-operator batch: known-answer tests for the new
+training-data-pipeline operators (each also has a DuckDB oracle in
+__spark_entry__; these pin the semantics on planted inputs the synthetic
+corpus can't exercise — e.g. actual PII hits, actual contamination).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------------------
+# PII redaction (zero-hit on the synthetic corpus — this is the value test)
+# --------------------------------------------------------------------------
+
+
+def test_redact_pii_planted(spark):
+    from skosconverter_spark.functions.text import redact_pii
+
+    docs = docs_df(
+        spark,
+        [
+            (1, "contact bob.smith+x@example.co.uk or alice@test.org today"),
+            (2, "server at 192.168.1.250 and 10.0.0.1 rebooted"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].clean_text == "contact <EMAIL> or <EMAIL> today"
+    assert got[1].n_emails == 2 and got[1].n_ips == 0
+    assert got[2].clean_text == "server at <IP> and <IP> rebooted"
+    assert got[2].n_ips == 2
+    assert got[3].clean_text == "call <PHONE> now"
+    assert got[3].n_phones == 1
+    assert got[4].clean_text == "nothing sensitive here"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (0, 0, 0)
+
+
+# --------------------------------------------------------------------------
+# decontamination (8-gram overlap, broadcast eval side)
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_planted(spark):
+    from skosconverter_spark.operators.decontaminate import (
+        contaminated_docs,
+        decontaminate,
+    )
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    ev = docs_df(spark, [(100, bench)])
+    corpus = docs_df(
+        spark,
+        [
+            # shares the full 10-token window -> three 8-grams
+            (1, "prefix " + bench + " suffix"),
+            # shares 7 consecutive tokens only -> clean at n=8
+            (2, "the quick brown fox jumps over the cat"),
+            (3, "completely unrelated words in this one document here"),
+        ],
+    )
+    hits = {r.doc_id: r.n_shared for r in contaminated_docs(corpus, ev, n=8).collect()}
+    assert hits == {1: 3}
+    kept = {r.doc_id for r in decontaminate(corpus, ev, n=8).collect()}
+    assert kept == {2, 3}
+    # the plan must broadcast the eval side (no corpus shuffle for the join)
+    plan = contaminated_docs(corpus, ev, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition signals
+# --------------------------------------------------------------------------
+
+
+def test_repetition_flags_known(spark):
+    from skosconverter_spark.operators.filter import repetition_flags
+
+    docs = docs_df(
+        spark,
+        [
+            (1, "spam spam spam spam spam"),  # top share 1.0, all dup 2-grams
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "   "),  # no tokens
+        ],
+    )
+    got = {r.doc_id: r for r in repetition_flags(docs).collect()}
+    assert got[1].n_words == 5 and got[1].top_word_share == 1.0
+    assert got[1].dup_2gram_frac == 0.75  # 4 bigrams, 1 distinct
+    assert got[1].keep is False
+    assert got[2].n_words == 10 and got[2].top_word_share == 0.1
+    assert got[2].dup_2gram_frac == 0.0 and got[2].keep is True
+    assert got[3].n_words == 0 and got[3].keep is False
+    assert got[3].top_word_share is None
+
+
+# --------------------------------------------------------------------------
+# stratified sampling (per-stratum fractions, hash_sample-compatible)
+# --------------------------------------------------------------------------
+
+
+def test_stratified_sample_matches_per_stratum_hash_sample(spark):
+    from skosconverter_spark.operators.filter import hash_sample, stratified_sample
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(
+        docs, {"en": 0.3, "de": 1.0}, strata_col="lang", default_fraction=0.0
+    )
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    en_ref = hash_sample(docs.filter(F.col("lang") == "en"), 0.3).count()
+    assert got.get("en") == en_ref  # same coordinate as hash_sample
+    assert got.get("de") == 1000  # fraction 1.0 keeps the whole stratum
+    assert "zh" not in got  # default 0.0 drops
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": -0.5})
+
+
+# --------------------------------------------------------------------------
+# corpus-level n-gram census
+# --------------------------------------------------------------------------
+
+
+def test_ngram_topk_known(spark):
+    from skosconverter_spark.functions.text import ngram_topk
+
+    docs = docs_df(
+        spark,
+        [(1, "a b a b c"), (2, "a b x"), (3, "c a b")],
+    )
+    got = [(r.ngram, r.n_occurrences, r.rank) for r in ngram_topk(docs, n=2, k=3).collect()]
+    assert sorted(got, key=lambda x: x[2]) == [
+        ("a b", 4, 1),
+        ("b a", 1, 2),  # count-1 ties broken by ngram ascending
+        ("b c", 1, 3),
+    ]
+
+
+# --------------------------------------------------------------------------
+# label centroids (decimal-exact distributed mean)
+# --------------------------------------------------------------------------
+
+
+def test_label_centroids_known(spark):
+    from skosconverter_spark.operators.similarity import label_centroids
+
+    vecs = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, [3.0, 6.0]),
+            (3, 1, [5.0, 5.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {(r.label, r.pos): (r.n_vectors, r.centroid) for r in label_centroids(vecs).collect()}
+    assert got == {
+        (0, 0): (2, 2.0),
+        (0, 1): (2, 4.0),
+        (1, 0): (1, 5.0),
+        (1, 1): (1, 5.0),
+    }
+
+
+# --------------------------------------------------------------------------
+# exact length deciles
+# --------------------------------------------------------------------------
+
+
+def test_length_deciles(spark):
+    from skosconverter_spark.functions.text import corpus_length_deciles
+
+    docs = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 10).alias("n_chars")
+    )
+    got = {r.decile: r for r in corpus_length_deciles(docs).collect()}
+    assert len(got) == 10
+    assert all(r.n_docs == 2 for r in got.values())
+    assert (got[1].min_len, got[1].max_len, got[1].mean_len) == (0, 10, 5.0)
+    assert (got[10].min_len, got[10].max_len, got[10].mean_len) == (180, 190, 185.0)
