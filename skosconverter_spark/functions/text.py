@@ -189,7 +189,7 @@ def corpus_length_deciles(df: DataFrame, len_col: str = "n_chars") -> DataFrame:
     crawl snapshot. ntile(10) over a TOTAL order (len, doc_id) so tie
     placement is deterministic; mean from an exact integer sum divided
     once, so any engine reproduces the double bit-for-bit."""
-    w = Window.orderBy(F.col(len_col), F.col("doc_id"))
+    w = Window.orderBy(F.col("len"), F.col("doc_id"))
     return (
         df.select("doc_id", F.col(len_col).alias("len"))
         .withColumn("decile", F.ntile(10).over(w))
