@@ -354,6 +354,22 @@ def q_corpus_decontaminate(spark, sf_dir):
     return contaminated_docs(corpus, ev, n=8)
 
 
+def q_corpus_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (minhash-LSH) complement of corpus_decontaminate: same
+    eval/corpus split and planted near-copies; near-dup gate at τ=0.8."""
+    from skosconverter_spark.operators.decontaminate import fuzzy_contaminated_docs
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text").unionAll(
+        ev.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+        )
+    )
+    return fuzzy_contaminated_docs(corpus, ev, threshold=0.8)
+
+
 def q_text_ngram_topk(spark, sf_dir):
     from skosconverter_spark.functions.text import ngram_topk
 
@@ -376,6 +392,12 @@ def q_emb_label_centroids(spark, sf_dir):
     from skosconverter_spark.operators.similarity import label_centroids
 
     return label_centroids(_emb(spark, sf_dir))
+
+
+def q_emb_kmeans(spark, sf_dir):
+    from skosconverter_spark.operators.similarity import kmeans_fit
+
+    return kmeans_fit(_emb(spark, sf_dir), k=8, iterations=2)
 
 
 # --------------------------------------------------------------------------
@@ -541,10 +563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_repetition": q_corpus_repetition,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_decontaminate_fuzzy": q_corpus_decontaminate_fuzzy,
         "corpus_length_deciles": q_corpus_length_deciles,
         "text_ngram_topk": q_text_ngram_topk,
         "text_pii": q_text_pii,
         "emb_label_centroids": q_emb_label_centroids,
+        "emb_kmeans": q_emb_kmeans,
         "multimodal_byte_stats": q_multimodal_byte_stats,
         "multimodal_features": q_multimodal_features,
         "events_window_agg": q_events_window_agg,
@@ -1222,6 +1246,82 @@ FROM csh c JOIN esh e USING (shingle)
 GROUP BY 1
 """
 
+def _fuzzy_decontaminate_sql(k: int = 12, bands: int = 4, tau: float = 0.8) -> str:
+    r = k // bands
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+
+    def band_select(table: str) -> str:
+        return "\n  UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM {t}".format(
+                b=b,
+                t=table,
+                expr=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+            )
+            for b in range(bands)
+        )
+
+    jac = "round(common::DOUBLE / (n_c + n_e - common)::DOUBLE, 6)"
+    return rf"""
+WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+  UNION ALL SELECT doc_id + 1000000, text || ' extra tail' FROM ev
+),
+ctoks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+  FROM corpus
+),
+csh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM ctoks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)
+),
+etoks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+  FROM ev
+),
+esh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM etoks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)
+),
+csig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM csh GROUP BY doc_id
+),
+esig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM esh GROUP BY doc_id
+),
+cband AS (
+  {band_select("csig")}
+),
+eband AS (
+  {band_select("esig")}
+),
+cand AS (
+  SELECT DISTINCT c.doc_id, e.doc_id AS eval_doc_id
+  FROM cband c JOIN eband e USING (band, bucket)
+),
+sizes_c AS (SELECT doc_id, count(*) AS n_c FROM csh GROUP BY 1),
+sizes_e AS (SELECT doc_id AS eval_doc_id, count(*) AS n_e FROM esh GROUP BY 1),
+common AS (
+  SELECT c.doc_id, e.doc_id AS eval_doc_id, count(*) AS common
+  FROM csh c JOIN esh e ON c.shingle = e.shingle GROUP BY 1, 2
+)
+SELECT cand.doc_id, cand.eval_doc_id, {jac} AS jaccard
+FROM cand
+JOIN common USING (doc_id, eval_doc_id)
+JOIN sizes_c ON sizes_c.doc_id = cand.doc_id
+JOIN sizes_e USING (eval_doc_id)
+WHERE {jac} >= {tau}
+"""
+
+
 _NGRAM_TOPK_SQL = r"""
 WITH toks AS (
   SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
@@ -1263,6 +1363,53 @@ SELECT decile, count(*) AS n_docs, min(len) AS min_len, max(len) AS max_len,
        round(sum(len)::DOUBLE / count(*)::DOUBLE, 6) AS mean_len
 FROM r GROUP BY 1
 """
+
+def _kmeans_sql(k: int = 8, iterations: int = 2) -> str:
+    """Lloyd's algorithm unrolled as chained CTEs — one (distance,
+    argmin, mean) triple per iteration, decimal-exact to mirror
+    operators/similarity.py::kmeans_fit value-for-value."""
+    ctes = [
+        r"""e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         round(unnest(embedding)::DOUBLE, 6)::DECIMAL(12,6) AS v
+  FROM embeddings
+)""",
+        f"""init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid
+  FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {k}
+)""",
+        """c0 AS (
+  SELECT i.cid, e.pos, e.v AS c FROM e JOIN init i USING (vec_id)
+)""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""d{t} AS (
+  SELECT e.vec_id, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist
+  FROM e JOIN c{t - 1} c USING (pos) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+  SELECT a.cid, e.pos,
+         round(sum(e.v)::DOUBLE / count(*)::DOUBLE, 6)::DECIMAL(12,6) AS c
+  FROM e JOIN a{t} a USING (vec_id) GROUP BY 1, 2
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT cid AS centroid_id, pos, c::DOUBLE AS centroid FROM c{iterations}"
+    )
+
 
 _LABEL_CENTROIDS_SQL = r"""
 WITH e AS (
@@ -1452,10 +1599,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "corpus_repetition": _REPETITION_SQL,
         "corpus_decontaminate": _DECONTAMINATE_SQL,
+        "corpus_decontaminate_fuzzy": _fuzzy_decontaminate_sql(),
         "corpus_length_deciles": _LENGTH_DECILES_SQL,
         "text_ngram_topk": _NGRAM_TOPK_SQL,
         "text_pii": _PII_SQL,
         "emb_label_centroids": _LABEL_CENTROIDS_SQL,
+        "emb_kmeans": _kmeans_sql(),
         "multimodal_byte_stats": _MULTIMODAL_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "events_window_agg": _EVENTS_WINDOW_SQL,

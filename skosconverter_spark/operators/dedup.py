@@ -125,20 +125,18 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    threshold: float,
-    text_col: str = "text",
-    k: int = N_MINHASH,
-    bands: int = N_BANDS,
+def minhash_band_rows(
+    sh: DataFrame, k: int = N_MINHASH, bands: int = N_BANDS
 ) -> DataFrame:
-    """Candidate pairs from LSH band buckets, verified with exact jaccard.
+    """(doc_id, band, bucket) from a (doc_id, shingle) table: the k
+    md5-min-hash signature, sliced into ``bands`` buckets.
 
-    bands × rows = k; a pair is a candidate iff some band's signature
-    slice matches exactly (bucket join per band, unioned, deduped).
-    """
+    One (band, bucket) row per band via a single explode — NOT a union
+    of per-band selects, which would re-run the k-md5 signature
+    aggregation once per band. Callers localCheckpoint as needed (the
+    self-join dedup reads it twice; the cross-corpus gate reads each
+    side once)."""
     r = k // bands
-    sh = doc_shingles(docs, text_col).localCheckpoint(eager=True)
     aggs = [
         F.min(
             F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "utf-8"))
@@ -146,10 +144,6 @@ def minhash_lsh_pairs(
         for i in range(k)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    # one (band, bucket) row per band via a single explode — NOT a union
-    # of per-band selects, which would re-run the k-md5 signature
-    # aggregation once per band; checkpointed because the self-join
-    # below reads it twice
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -162,11 +156,28 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    band_rows = (
+    return (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .localCheckpoint(eager=True)
+        .select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    bands: int = N_BANDS,
+) -> DataFrame:
+    """Candidate pairs from LSH band buckets, verified with exact jaccard.
+
+    bands × rows = k; a pair is a candidate iff some band's signature
+    slice matches exactly (bucket join per band, unioned, deduped).
+    """
+    sh = doc_shingles(docs, text_col).localCheckpoint(eager=True)
+    band_rows = minhash_band_rows(sh, k, bands).localCheckpoint(eager=True)
     a = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b_ = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     candidates = (

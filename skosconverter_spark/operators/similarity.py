@@ -225,6 +225,89 @@ def label_centroids(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, pos, centroid): Lloyd's k-means after a fixed number
+    of iterations — the IVF (re)training step, as a distributed fixpoint.
+
+    Deterministic and oracle-checkable end to end, which distributed
+    k-means normally is NOT (float summation order). Three choices make
+    it exact:
+    - elements are rounded to 6 places and carried as DECIMAL(12,6), so
+      squared distances (DECIMAL(27,12)) and their sums are EXACT and
+      order-free under partial aggregation;
+    - the argmin is min(struct(dist, cid)) over exact decimals — the
+      house first-value-wins pattern, no float ties;
+    - new centroids divide an exact decimal sum by an exact count once,
+      in doubles, then re-round — bit-stable in any engine.
+    Seeds are the k vectors with the smallest md5(vec_id) (TakeOrdered —
+    no global sort), so every engine picks the same ones.
+
+    Plan shape per iteration: posexploded vectors (checkpointed once,
+    reused every iteration) broadcast-join the k·dim centroid table on
+    pos, two hash aggregations (vec-keyed partial-agg distance, then
+    cluster-keyed mean). Nothing shuffles more than n·k rows; empty
+    clusters drop out (inner join) deterministically."""
+    e = (
+        vectors.select(
+            F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v_raw")
+        )
+        .select(
+            id_col,
+            "pos",
+            F.round(F.col("v_raw").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        vectors.select(F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+    )
+    init = seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("h")) - 1
+    ).select(id_col, "cid")
+    cent = e.join(F.broadcast(init), id_col).select(
+        "cid", "pos", F.col("v").alias("c")
+    )
+    for _ in range(iterations):
+        d = (
+            e.join(F.broadcast(cent), "pos")
+            .withColumn("sq", (F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+            .groupBy(id_col, "cid")
+            .agg(F.sum("sq").alias("dist"))
+        )
+        a = (
+            d.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select(id_col, F.col("m.cid").alias("cid"))
+        )
+        cent = (
+            e.join(a, id_col)
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum("v").cast("double") / F.count("*").cast("double"), 6
+                )
+                .cast("decimal(12,6)")
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)  # k·dim rows; breaks the loop lineage
+        )
+    return cent.select(
+        F.col("cid").alias("centroid_id"),
+        "pos",
+        F.col("c").cast("double").alias("centroid"),
+    )
+
+
 def srp_signs(bits: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane components for SRP-LSH (Charikar 2002
     random-hyperplane signatures): component (j, d) = +1 iff the first

@@ -74,6 +74,29 @@ def test_decontaminate_planted(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fuzzy_contaminated_docs_planted(spark):
+    from skosconverter_spark.operators.decontaminate import fuzzy_contaminated_docs
+
+    bench = " ".join(f"w{i}" for i in range(40))  # 38 distinct 3-shingles
+    ev = docs_df(spark, [(100, bench)])
+    corpus = docs_df(
+        spark,
+        [
+            (1, bench + " tail tok"),  # near-copy: jaccard 38/40 = 0.95
+            (2, " ".join(f"w{i}" for i in range(15))),  # prefix: 13/38 ≈ 0.34
+            (3, "completely different words in every position here now"),
+        ],
+    )
+    got = {(r.doc_id, r.eval_doc_id): r.jaccard
+           for r in fuzzy_contaminated_docs(corpus, ev, threshold=0.8).collect()}
+    assert got == {(1, 100): 0.95}
+    # a zero-overlap doc can never be a candidate (bucket match implies a
+    # shared min-shingle); the j=0.34 prefix doc is below the s-curve's
+    # reliable zone at r=3 — only the disjoint doc is asserted about
+    loose = {r.doc_id for r in fuzzy_contaminated_docs(corpus, ev, threshold=0.1).collect()}
+    assert 1 in loose and 3 not in loose
+
+
 # --------------------------------------------------------------------------
 # Gopher repetition signals
 # --------------------------------------------------------------------------
@@ -170,6 +193,31 @@ def test_label_centroids_known(spark):
         (1, 0): (1, 5.0),
         (1, 1): (1, 5.0),
     }
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    from skosconverter_spark.operators.similarity import kmeans_fit
+
+    # two tight planted clusters around (0,0) and (10,10)
+    pts = [(i, [0.0 + i * 0.1, 0.0 - i * 0.1]) for i in range(5)] + [
+        (10 + i, [10.0 + i * 0.1, 10.0 - i * 0.1]) for i in range(5)
+    ]
+    vecs = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = {
+        (r.centroid_id, r.pos): r.centroid
+        for r in kmeans_fit(vecs, k=2, iterations=3).collect()
+    }
+    # k-means must recover the two cluster means (0.2, -0.2) and (10.2, 9.8)
+    centers = sorted(
+        (got[(c, 0)], got[(c, 1)]) for c in {c for c, _ in got}
+    )
+    assert centers == [(0.2, -0.2), (10.2, 9.8)]
+    # fixpoint: one more iteration changes nothing (assignments stable)
+    again = {
+        (r.centroid_id, r.pos): r.centroid
+        for r in kmeans_fit(vecs, k=2, iterations=4).collect()
+    }
+    assert sorted(got.values()) == sorted(again.values())
 
 
 # --------------------------------------------------------------------------
