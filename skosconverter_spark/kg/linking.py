@@ -75,14 +75,21 @@ def tfidf_context_scores(pages_text: DataFrame, triples: DataFrame) -> DataFrame
         .groupBy("url", "token")
         .agg(F.count("*").alias("tf"))
     )
-    n_pages = pages_text.count()  # contract: one row per url
+    # n_pages in-plan (contract: one row per url) — same no-driver-job
+    # rationale as mention_context_scores
+    np_df = pages_text.agg(F.count("*").alias("n_pages"))
     # document frequency only for profile tokens: bounded by the profile
     # vocabulary, so this aggregation is small no matter the corpus size
     df_tok = pt.groupBy("token").agg(F.countDistinct("url").alias("df"))
     tfidf = (
         pt.join(F.broadcast(df_tok), "token")
+        .crossJoin(F.broadcast(np_df))
         .withColumn(
-            "w", F.col("tf") * F.log(F.lit(float(n_pages + 1)) / (F.col("df") + 1.0))
+            "w",
+            F.col("tf")
+            * F.log(
+                (F.col("n_pages") + F.lit(1)).cast("double") / (F.col("df") + 1.0)
+            ),
         )
         .select("url", "token", "w")
     )
@@ -130,12 +137,21 @@ def mention_context_scores(mentions: DataFrame, triples: DataFrame) -> DataFrame
     from skosconverter_spark.kg.mentions import label_table
 
     tf = mentions.groupBy("url", "norm_surface").agg(F.count("*").alias("tf"))
-    n_pages = mentions.select("url").distinct().count()
+    # n_pages as an in-plan broadcast scalar (single-row aggregate +
+    # crossJoin), NOT a driver-side .count(): a separate blocking job
+    # would re-scan the mentions table once per pipeline run just to
+    # fetch one integer
+    np_df = mentions.agg(F.countDistinct("url").alias("n_pages"))
     df_s = tf.groupBy("norm_surface").agg(F.countDistinct("url").alias("df"))
     w = (
         tf.join(F.broadcast(df_s), "norm_surface")
+        .crossJoin(F.broadcast(np_df))
         .withColumn(
-            "w", F.col("tf") * F.log(F.lit(float(n_pages + 1)) / (F.col("df") + 1.0))
+            "w",
+            F.col("tf")
+            * F.log(
+                (F.col("n_pages") + F.lit(1)).cast("double") / (F.col("df") + 1.0)
+            ),
         )
         .select("url", "norm_surface", "w")
     )
@@ -218,14 +234,29 @@ def score_candidates(
 
 def link_best(scored: DataFrame) -> DataFrame:
     """One concept per mention span: highest score, ties to the smaller
-    uri (deterministic)."""
-    from pyspark.sql import Window
+    uri (deterministic).
 
-    w = Window.partitionBy("url", "begin", "end").orderBy(
-        F.col("score").desc(), "concept_uri"
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    A hash aggregation — min over (−score, uri, payload) structs, the
+    house first-value-wins pattern — NOT a row_number window: the window
+    shuffles and per-partition-sorts every candidate row, while the agg
+    map-side-combines to one partial winner per span per partition
+    before the shuffle. Negating an IEEE double is exact, so the struct
+    order is precisely (score desc, concept_uri asc)."""
+    pick = F.min(
+        F.struct(
+            (-F.col("score")).alias("neg_score"),
+            F.col("concept_uri").alias("concept_uri"),
+            F.col("surface").alias("surface"),
+            F.col("norm_surface").alias("norm_surface"),
+            F.col("score").alias("score"),
+        )
+    ).alias("m")
+    return scored.groupBy("url", "begin", "end").agg(pick).select(
+        "url",
+        F.col("m.surface").alias("surface"),
+        F.col("m.norm_surface").alias("norm_surface"),
+        "begin",
+        "end",
+        F.col("m.concept_uri").alias("concept_uri"),
+        F.col("m.score").alias("score"),
     )
