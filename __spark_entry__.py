@@ -382,6 +382,12 @@ def q_text_pii(spark, sf_dir):
     return redact_pii(_docs(spark, sf_dir))
 
 
+def q_corpus_pack(spark, sf_dir):
+    from skosconverter_spark.operators.filter import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), context_len=512)
+
+
 def q_corpus_length_deciles(spark, sf_dir):
     from skosconverter_spark.functions.text import corpus_length_deciles
 
@@ -565,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_decontaminate_fuzzy": q_corpus_decontaminate_fuzzy,
         "corpus_length_deciles": q_corpus_length_deciles,
+        "corpus_pack": q_corpus_pack,
         "text_ngram_topk": q_text_ngram_topk,
         "text_pii": q_text_pii,
         "emb_label_centroids": q_emb_label_centroids,
@@ -1353,6 +1360,25 @@ SELECT doc_id,
 FROM documents
 """
 
+_CORPUS_PACK_SQL = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '),
+                         x -> x != '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       tokens_before // 512 AS pack_id,
+       tokens_before % 512 AS pack_offset
+FROM c
+"""
+
 _LENGTH_DECILES_SQL = r"""
 WITH r AS (
   SELECT doc_id, n_chars AS len,
@@ -1601,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": _DECONTAMINATE_SQL,
         "corpus_decontaminate_fuzzy": _fuzzy_decontaminate_sql(),
         "corpus_length_deciles": _LENGTH_DECILES_SQL,
+        "corpus_pack": _CORPUS_PACK_SQL,
         "text_ngram_topk": _NGRAM_TOPK_SQL,
         "text_pii": _PII_SQL,
         "emb_label_centroids": _LABEL_CENTROIDS_SQL,

@@ -22,7 +22,7 @@ caller's):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from skosconverter_spark.functions.text import STOPWORDS, tokens
@@ -160,6 +160,46 @@ def repetition_flags(
         "dup_2gram_frac",
         "dup_3gram_frac",
         keep.alias("keep"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    context_len: int = 512,
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """(source, doc_id, n_tokens, pack_id, pack_offset): GPT-style
+    sequential packing — documents are concatenated in doc_id order and
+    cut into fixed ``context_len``-token training windows; a document
+    starts in pack ``pack_id`` at ``pack_offset`` and may span packs
+    (the standard pretraining concatenate-then-chunk scheme).
+
+    Pure integer math over one running-sum window: pack_id =
+    floor(tokens_before / L), pack_offset = tokens_before mod L.
+
+    Scale note: packing is inherently a running sum, so it is computed
+    PER SHARD (``shard_col``, default the ingest source) — each shard's
+    window is independent and parallel, exactly how a real pipeline
+    packs per input shard; a single global ordering would serialize the
+    corpus through one partition. pack_id is therefore per-shard."""
+    from skosconverter_spark.functions.text import token_count
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        shard_col, "doc_id", token_count(F.col(text_col)).alias("n_tokens")
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        shard_col,
+        "doc_id",
+        "n_tokens",
+        F.floor(before / context_len).cast("bigint").alias("pack_id"),
+        (before % context_len).cast("bigint").alias("pack_offset"),
     )
 
 

@@ -220,6 +220,32 @@ def test_kmeans_separates_planted_clusters(spark):
     assert sorted(got.values()) == sorted(again.values())
 
 
+def test_pack_documents_known(spark):
+    from skosconverter_spark.operators.filter import pack_documents
+
+    docs = spark.createDataFrame(
+        [
+            # shard A: 3 docs of 3/4/2 tokens, context_len 5
+            (1, "a b c", "A"),
+            (2, "d e f g", "A"),
+            (3, "h i", "A"),
+            # shard B: independent numbering
+            (10, "x y z w v u", "B"),
+            (11, "q", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+        for r in pack_documents(docs, context_len=5).collect()
+    }
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (4, 0, 3)  # starts in pack 0, spans into pack 1
+    assert got[3] == (2, 1, 2)  # 7 tokens before -> pack 1, offset 2
+    assert got[10] == (6, 0, 0)  # shard B restarts at pack 0
+    assert got[11] == (1, 1, 1)
+
+
 # --------------------------------------------------------------------------
 # exact length deciles
 # --------------------------------------------------------------------------
