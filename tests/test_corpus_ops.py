@@ -170,6 +170,48 @@ def test_ngram_topk_known(spark):
     ]
 
 
+def test_stratified_sample_nesting_and_disjoint_salts(spark):
+    """The hash_sample guarantees must survive stratification: a smaller
+    per-stratum fraction is a SUBSET of a larger one at the same salt,
+    and different salts draw (near-)independent samples."""
+    from skosconverter_spark.operators.filter import stratified_sample
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    small = {r.doc_id for r in stratified_sample(docs, {"en": 0.1, "de": 0.3}).collect()}
+    big = {r.doc_id for r in stratified_sample(docs, {"en": 0.4, "de": 0.6}).collect()}
+    assert small <= big
+    other = {r.doc_id for r in stratified_sample(docs, {"en": 0.4, "de": 0.6}, salt="s2").collect()}
+    assert other != big  # different salt, different draw
+
+
+def test_pack_documents_partition_invariance(spark):
+    """pack_id/pack_offset are pure functions of the shard's doc_id
+    order — repartitioning the input must not change a single row."""
+    from skosconverter_spark.operators.filter import pack_documents
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 17 + 1).cast("int"))).alias("text"),
+        (F.col("id") % 5).cast("string").alias("source"),
+    )
+    a = sorted(map(tuple, pack_documents(docs, 64).collect()))
+    b = sorted(map(tuple, pack_documents(docs.repartition(13), 64).collect()))
+    assert a == b
+    # exactness: within each shard, offsets advance by n_tokens mod L
+    by_shard = {}
+    for source, doc_id, n, pid, off in a:
+        by_shard.setdefault(source, []).append((doc_id, n, pid, off))
+    for rows in by_shard.values():
+        rows.sort()
+        cum = 0
+        for _, n, pid, off in rows:
+            assert (pid, off) == (cum // 64, cum % 64)
+            cum += n
+
+
 # --------------------------------------------------------------------------
 # label centroids (decimal-exact distributed mean)
 # --------------------------------------------------------------------------
