@@ -520,6 +520,78 @@ def q_events_sessions(spark, sf_dir):
     return session_windows(ev, "30 minutes")
 
 
+def _revenue():
+    """Decimal-exact revenue term: sums are order-free so distributed
+    partial aggregation matches any SQL engine bit-for-bit (the
+    DECIMAL-sums-cast-to-double house rule)."""
+    return F.col("l_extendedprice").cast("decimal(16,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority), adapted to the synthesized schema:
+    the classic dim-filter → fact-fact join → agg → top-k OLAP shape.
+    customer is a broadcast dim (no fact shuffle for it); orders⋈lineitem
+    shuffles on the uniform orderkey; top-10 is a TakeOrdered over a
+    TOTAL order (revenue desc, l_orderkey) — deterministic limit."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): the snowflake join — every dim
+    (customer, supplier, nation, region) broadcasts, so the only
+    corpus-sized shuffle is lineitem⋈orders on orderkey; the
+    same-nation (c_nationkey = s_nationkey) constraint rides the
+    broadcast join condition."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"))
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -585,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "lineitem_pricing": q_lineitem_pricing,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
     }
 
 
@@ -1574,6 +1648,36 @@ SELECT 'day', date_trunc('day', ts), count(*),
 FROM events GROUP BY 2
 """
 
+_TPCH_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice::DECIMAL(16,2)
+                 * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1997-01-01'
+  AND l_shipdate > '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice::DECIMAL(16,2)
+                 * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2)))::DOUBLE, 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY n_name
+"""
+
 _LINEITEM_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        (sum(l_quantity::DECIMAL(14,2)))::DOUBLE AS sum_qty,
@@ -1641,4 +1745,6 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _EVENTS_RANGE_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
+        "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q5": _TPCH_Q5_SQL,
     }
