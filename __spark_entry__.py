@@ -592,6 +592,54 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_events_json_extract(spark, sf_dir):
+    """Semi-structured path: parse the events.props JSON column with
+    from_json (schema-on-read, JVM-side — no Python) and aggregate the
+    extracted field per event type. The DuckDB oracle uses its native
+    json extraction; integer parity is exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_events_cube(spark, sf_dir):
+    """CUBE rollup over (event_type, day): all four grouping levels in
+    one pass — the OLAP cube the reference's per-vocabulary summaries
+    hint at, generalized. Sums carried as DECIMAL(18,6) so every
+    grouping level is order-free exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("v").cast("double"), 6).alias("sum_value"),
+        )
+        # rollup NULLs -> sentinels: the harness sorts rows and cannot
+        # order str/None; '(all)' is unambiguous (no source value is null)
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(
+                F.col("day"), F.lit("1900-01-01").cast("timestamp")
+            ).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -659,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "events_json_extract": q_events_json_extract,
+        "events_cube": q_events_cube,
     }
 
 
@@ -1648,6 +1698,25 @@ SELECT 'day', date_trunc('day', ts), count(*),
 FROM events GROUP BY 2
 """
 
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::INT) AS min_k,
+       max(json_extract(props, '$.k')::INT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+_EVENTS_CUBE_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(date_trunc('day', ts), TIMESTAMP '1900-01-01') AS day,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+"""
+
 _TPCH_Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        round(sum(l_extendedprice::DECIMAL(16,2)
@@ -1747,4 +1816,6 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
         "tpch_q3": _TPCH_Q3_SQL,
         "tpch_q5": _TPCH_Q5_SQL,
+        "events_json_extract": _EVENTS_JSON_SQL,
+        "events_cube": _EVENTS_CUBE_SQL,
     }
