@@ -14,6 +14,42 @@ def docs_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_batch_operators_run_unchanged_on_streams(spark, tmp_path):
+    """The corpus operators are pure Catalyst expressions, so the SAME
+    functions accept a readStream DataFrame with no code changes — and
+    an availableNow pass produces exactly the batch answer. This is the
+    batch/streaming unification the Spark-first design buys."""
+    from skosconverter_spark.functions.text import redact_pii
+    from skosconverter_spark.operators.filter import hash_sample, quality_flags
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    words = " ".join(["the", "a", "of", "and", "word"] * 12)
+    rows = [(i, f"doc {i} mail{i}@example.org " + words) for i in range(40)]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows, schema).write.parquet(in_dir)
+
+    batch = spark.read.schema(schema).parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+
+    def transform(df):
+        clean = redact_pii(df).withColumnRenamed("clean_text", "text")
+        return quality_flags(hash_sample(clean, 0.5, "doc_id"), min_words=10)
+
+    out = transform(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple, transform(batch).collect()))
+    assert got == want and len(got) > 0
+
+
 # --------------------------------------------------------------------------
 # PII redaction (zero-hit on the synthetic corpus — this is the value test)
 # --------------------------------------------------------------------------
