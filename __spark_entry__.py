@@ -592,6 +592,25 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the customer↔supplier interaction graph (distinct
+    pairs from orders⋈lineitem; keys prefixed so the two key spaces
+    cannot collide). 3 iterations, d=0.85."""
+    from skosconverter_spark.operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, damping=0.85, iterations=3)
+
+
 def q_events_json_extract(spark, sf_dir):
     """Semi-structured path: parse the events.props JSON column with
     from_json (schema-on-read, JVM-side — no Python) and aggregate the
@@ -709,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "events_json_extract": q_events_json_extract,
         "events_cube": q_events_cube,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -1698,6 +1718,47 @@ SELECT 'day', date_trunc('day', ts), count(*),
 FROM events GROUP BY 2
 """
 
+def _pagerank_sql(damping: float = 0.85, iterations: int = 3) -> str:
+    ctes = [
+        """raw AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)""",
+        "und AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw)",
+        "nodes AS (SELECT DISTINCT src AS node FROM und)",
+        "deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """r0 AS (
+  SELECT node, round(1.0 / n, 12)::DECIMAL(20,12) AS rank FROM nodes CROSS JOIN nn
+)""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""c{t} AS (
+  SELECT u.dst AS node,
+         sum(round(r.rank::DOUBLE / d.deg, 12)::DECIMAL(20,12)) AS contrib
+  FROM und u JOIN r{t - 1} r ON u.src = r.node JOIN deg d ON u.src = d.src
+  GROUP BY 1
+)"""
+        )
+        # inject the EXACT python doubles: DuckDB parses bare 0.85 /
+        # (1 - 0.85) as decimals, whose values differ from the engine's
+        # IEEE doubles by an ulp at the 12th place
+        ctes.append(
+            f"""r{t} AS (
+  SELECT n.node,
+         round({1.0 - damping!r}::DOUBLE / nn.n
+               + {damping!r}::DOUBLE * coalesce(c.contrib::DOUBLE, 0), 12)::DECIMAL(20,12) AS rank
+  FROM nodes n LEFT JOIN c{t} c USING (node) CROSS JOIN nn
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank::DOUBLE AS rank FROM r{iterations}"
+    )
+
+
 _EVENTS_JSON_SQL = """
 SELECT event_type,
        count(*) AS n_events,
@@ -1818,4 +1879,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _TPCH_Q5_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "events_cube": _EVENTS_CUBE_SQL,
+        "graph_pagerank": _pagerank_sql(),
     }
