@@ -611,6 +611,44 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, damping=0.85, iterations=3)
 
 
+def q_events_percentiles(spark, sf_dir):
+    """Exact (interpolated) per-group order statistics — Spark's
+    percentile() and DuckDB's quantile_cont() share the linear-
+    interpolation definition, verified to 6 places."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_events_running(spark, sf_dir):
+    """Per-user running analytics: ordered running count/sum plus the
+    gap to the previous event — the lead/lag window family. Sum carried
+    as DECIMAL(18,6) (order-free exact); the gap in integer epoch
+    MICROSECONDS (operators/temporal.py::_epoch_micros idiom — exact,
+    matching DuckDB's epoch_us)."""
+    from pyspark.sql import Window
+
+    from skosconverter_spark.operators.temporal import _epoch_micros
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = _epoch_micros(F.col("ts"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(run).alias("running_n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(run).cast("double"), 6
+        ).alias("running_sum"),
+        (us - F.lag(us).over(w)).alias("micros_since_prev"),
+    )
+
+
 def q_events_json_extract(spark, sf_dir):
     """Semi-structured path: parse the events.props JSON column with
     from_json (schema-on-read, JVM-side — no Python) and aggregate the
@@ -729,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "events_cube": q_events_cube,
         "graph_pagerank": q_graph_pagerank,
+        "events_percentiles": q_events_percentiles,
+        "events_running": q_events_running,
     }
 
 
@@ -1759,6 +1799,25 @@ def _pagerank_sql(damping: float = 0.85, iterations: int = 3) -> str:
     )
 
 
+_EVENTS_PERCENTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+_EVENTS_RUNNING_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w_run AS running_n,
+       round((sum(value::DECIMAL(18,6)) OVER w_run)::DOUBLE, 6) AS running_sum,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w_ord AS micros_since_prev
+FROM events
+WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
 _EVENTS_JSON_SQL = """
 SELECT event_type,
        count(*) AS n_events,
@@ -1880,4 +1939,6 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": _EVENTS_JSON_SQL,
         "events_cube": _EVENTS_CUBE_SQL,
         "graph_pagerank": _pagerank_sql(),
+        "events_percentiles": _EVENTS_PERCENTILES_SQL,
+        "events_running": _EVENTS_RUNNING_SQL,
     }
