@@ -611,6 +611,71 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, damping=0.85, iterations=3)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Ingest-delta dedup: corpus = every 3rd document's fingerprints
+    (already ingested); delta = the rest plus planted copies (same
+    convention as the dedup oracles)."""
+    from skosconverter_spark.functions.text import fingerprint
+    from skosconverter_spark.operators.dedup import incremental_new_docs
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") % 3 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return incremental_new_docs(existing, new)
+
+
+def q_events_topk_per_user(spark, sf_dir):
+    """Top-3 events per user by (value desc, event_id) — the grouped
+    top-k window every analytics surface ships."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rnk")
+    )
+
+
+def q_events_rolling_hour(spark, sf_dir):
+    """Per-user 1-hour rolling count/sum/mean via a RANGE frame over
+    integer epoch microseconds — peer-inclusive in both engines, sums
+    decimal-exact."""
+    from pyspark.sql import Window
+
+    from skosconverter_spark.operators.temporal import _epoch_micros
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        _epoch_micros(F.col("ts")).alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("v").over(w).cast("double"), 6).alias("sum_1h"),
+        F.round(
+            (F.sum("v").over(w).cast("double") / F.count("*").over(w)), 6
+        ).alias("mean_1h"),
+    )
+
+
 def q_events_percentiles(spark, sf_dir):
     """Exact (interpolated) per-group order statistics — Spark's
     percentile() and DuckDB's quantile_cont() share the linear-
@@ -769,6 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "events_percentiles": q_events_percentiles,
         "events_running": q_events_running,
+        "dedup_incremental": q_dedup_incremental,
+        "events_topk_per_user": q_events_topk_per_user,
+        "events_rolling_hour": q_events_rolling_hour,
     }
 
 
@@ -1799,6 +1867,45 @@ def _pagerank_sql(damping: float = 0.85, iterations: int = 3) -> str:
     )
 
 
+_DEDUP_INCREMENTAL_SQL = r"""
+WITH existing AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+),
+new_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+),
+fp AS (
+  SELECT min(doc_id) AS doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM new_docs GROUP BY 2
+)
+SELECT doc_id, fp FROM fp
+WHERE fp NOT IN (SELECT fp FROM existing)
+"""
+
+_EVENTS_TOPK_SQL = """
+SELECT user_id, event_id, round(value, 6) AS value, rnk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+  FROM events
+)
+WHERE rnk <= 3
+"""
+
+_EVENTS_ROLLING_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       round((sum(value::DECIMAL(18,6)) OVER w)::DOUBLE, 6) AS sum_1h,
+       round((sum(value::DECIMAL(18,6)) OVER w)::DOUBLE
+             / (count(*) OVER w), 6) AS mean_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
 _EVENTS_PERCENTILES_SQL = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1941,4 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(),
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_running": _EVENTS_RUNNING_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "events_topk_per_user": _EVENTS_TOPK_SQL,
+        "events_rolling_hour": _EVENTS_ROLLING_SQL,
     }

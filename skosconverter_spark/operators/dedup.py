@@ -74,6 +74,25 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_new_docs(
+    existing_fps: DataFrame, new_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp): the production ingest shape — documents from a new
+    batch that are neither exact duplicates of the already-ingested
+    corpus nor of each other (min doc_id wins within the batch). A real
+    pipeline never re-dedups the whole corpus per delivery; it keeps the
+    fingerprint table and anti-joins each delta against it.
+
+    Plan: one fp-keyed hash agg over the (small) delta, then one
+    anti-join on the uniform md5 key — the corpus-sized side shuffles
+    once, partial-agg-free, no matter how big the history grows."""
+    fp = new_docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+    first = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return first.join(existing_fps.select("fp"), "fp", "left_anti").select(
+        "doc_id", "fp"
+    )
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct — the inverted-index input."""
     return (

@@ -110,6 +110,26 @@ def test_decontaminate_planted(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_incremental_new_docs_planted(spark):
+    from skosconverter_spark.functions.text import fingerprint
+    from skosconverter_spark.operators.dedup import incremental_new_docs
+
+    existing = docs_df(spark, [(1, "already ingested doc")]).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    new = docs_df(
+        spark,
+        [
+            (10, "ALREADY   ingested doc"),  # dup of corpus (normalized) -> dropped
+            (11, "fresh document one"),
+            (12, "fresh  DOCUMENT one"),  # within-batch dup of 11 -> min doc_id wins
+            (13, "fresh document two"),
+        ],
+    )
+    got = {r.doc_id for r in incremental_new_docs(existing, new).collect()}
+    assert got == {11, 13}
+
+
 def test_fuzzy_contaminated_docs_planted(spark):
     from skosconverter_spark.operators.decontaminate import fuzzy_contaminated_docs
 
