@@ -676,6 +676,68 @@ def q_events_rolling_hour(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel signup → view → purchase per user: each step's
+    timestamp is the min event AFTER the previous step completed
+    (strictly ordered — a purchase before the first view doesn't
+    count). Three conditional-min aggregations chained by left joins;
+    exact timestamp parity."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def first_after(etype, prev, prev_col):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        j = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return j.groupBy("user_id").agg(F.min("ts").alias(f"{etype}_ts"))
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = first_after("view", s1, "signup_ts")
+    s3 = first_after("purchase", s2, "view_ts")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "signup_ts", "view_ts", "purchase_ts")
+    )
+
+
+def q_events_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event; activity counted as distinct users per (cohort_week,
+    week_offset). Offsets are exact integer arithmetic on epoch
+    microseconds of week-truncated timestamps."""
+    from skosconverter_spark.operators.temporal import _epoch_micros
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (_epoch_micros(F.col("week")) - _epoch_micros(F.col("cohort_week")))
+                / week_us
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        # DuckDB's date_trunc('week') yields DATE; align the output type
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
 def q_events_percentiles(spark, sf_dir):
     """Exact (interpolated) per-group order statistics — Spark's
     percentile() and DuckDB's quantile_cont() share the linear-
@@ -837,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "events_topk_per_user": q_events_topk_per_user,
         "events_rolling_hour": q_events_rolling_hour,
+        "events_funnel": q_events_funnel,
+        "events_cohorts": q_events_cohorts,
     }
 
 
@@ -1906,6 +1970,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
 
+_EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS view_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.signup_ts GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.view_ts GROUP BY 1
+)
+SELECT s1.user_id, signup_ts, view_ts, purchase_ts
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+_EVENTS_COHORTS_SQL = """
+WITH w AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+SELECT cohort_week,
+       (epoch_us(week) - epoch_us(cohort_week)) // 604800000000 AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
 _EVENTS_PERCENTILES_SQL = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -2051,4 +2144,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "events_topk_per_user": _EVENTS_TOPK_SQL,
         "events_rolling_hour": _EVENTS_ROLLING_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_cohorts": _EVENTS_COHORTS_SQL,
     }
