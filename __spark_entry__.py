@@ -1690,8 +1690,8 @@ c AS (
   FROM t
 )
 SELECT source, doc_id, n_tokens,
-       tokens_before // 512 AS pack_id,
-       tokens_before % 512 AS pack_offset
+       CAST(tokens_before // 512 AS BIGINT) AS pack_id,
+       CAST(tokens_before % 512 AS BIGINT) AS pack_offset
 FROM c
 """
 

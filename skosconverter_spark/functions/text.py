@@ -186,20 +186,58 @@ def ngram_topk(
 def corpus_length_deciles(df: DataFrame, len_col: str = "n_chars") -> DataFrame:
     """(decile, n_docs, min_len, max_len, mean_len): the exact corpus
     length distribution — the first diagnostic anyone pulls on a new
-    crawl snapshot. ntile(10) over a TOTAL order (len, doc_id) so tie
-    placement is deterministic; mean from an exact integer sum divided
-    once, so any engine reproduces the double bit-for-bit."""
-    w = Window.orderBy(F.col("len"), F.col("doc_id"))
+    crawl snapshot. Semantics are EXACTLY ntile(10) OVER (ORDER BY len,
+    doc_id), but computed without the scale-killer that implies: a naive
+    ntile funnels every document row through ONE unpartitioned window
+    task. Instead, the length histogram (groupBy(len).count() — a
+    distributed hash agg whose output is bounded by the number of
+    DISTINCT lengths, not documents) is cumulative-summed in a window
+    over that tiny table only, and each length's global-rank interval
+    [lo, hi] is intersected with the 10 closed-form ntile rank intervals
+    (first n%10 deciles get ⌈n/10⌉ rows, the rest ⌊n/10⌋). The per-decile
+    aggregates are tie-insensitive — rows of one length split across a
+    boundary contribute the same len either side — so doc_id
+    tie-breaking never has to be materialized. Exact integer sums keep
+    mean_len bit-reproducible across engines."""
+    hist = (
+        df.select(F.col(len_col).alias("len"))
+        .groupBy("len")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # window over the distinct-length table only (cardinality ≤ max doc
+    # length, not corpus size) — a single partition of a tiny table
+    w = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.withColumn("hi", F.sum("cnt").over(w)).withColumn(
+        "lo", F.col("hi") - F.col("cnt") + 1
+    )
+    total = hist.groupBy().agg(F.sum("cnt").alias("n_total"))
+    d = F.col("decile").cast("long")
+    q = F.floor(F.col("n_total") / 10)
+    r = F.col("n_total") % 10
+    start = (d - 1) * q + F.least(d - 1, r) + 1
+    end = d * q + F.least(d, r)
+    overlap = (
+        F.least(F.col("hi"), end) - F.greatest(F.col("lo"), start) + 1
+    )
     return (
-        df.select("doc_id", F.col(len_col).alias("len"))
-        .withColumn("decile", F.ntile(10).over(w))
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "len", "lo", "hi", "n_total",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        )
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") > 0)
         .groupBy("decile")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.sum("overlap").alias("n_docs"),
             F.min("len").alias("min_len"),
             F.max("len").alias("max_len"),
             F.round(
-                F.sum("len").cast("double") / F.count("*").cast("double"), 6
+                F.sum(F.col("len") * F.col("overlap")).cast("double")
+                / F.sum("overlap").cast("double"),
+                6,
             ).alias("mean_len"),
         )
     )

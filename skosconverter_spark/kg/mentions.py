@@ -81,16 +81,30 @@ def _hit_regex(trie: "_Trie") -> "re.Pattern | None":
     wrapped in the lookarounds that replicate _WORD_RE token boundaries
     exactly: a match begins where a token begins ((?<!\\w) — and not in
     the middle of an apostrophe token, (?<!\\w')) and ends where that
-    token ends ((?!'?\\w): not followed by more word chars, nor by an
-    apostrophe continuation). The C regex engine then finds vocabulary
-    hits directly — no per-token Python work on non-vocabulary text,
-    which is ~98% of a web corpus."""
+    token ends. The trailing boundary depends on the vocab token itself:
+    a plain token must not be followed by '?\\w (an apostrophe
+    continuation would extend the _WORD_RE token, as in "owner" inside
+    "owner's"), but a token that ALREADY contains its one apostrophe
+    group only needs (?!\\w) — _WORD_RE's optional (?:'\\w+)? is spent,
+    so a following '\\w starts a NEW token ("d'or" in "d'or's" IS a
+    token boundary; a single (?!'?\\w) wrongly rejected it). The C regex
+    engine then finds vocabulary hits directly — no per-token Python
+    work on non-vocabulary text, which is ~98% of a web corpus."""
     starts = sorted({t[0] for t in trie.surfaces}, key=len, reverse=True)
     if not starts:
         return None
-    alt = "|".join(re.escape(w) for w in starts)
+    plain = [w for w in starts if "'" not in w]
+    apos = [w for w in starts if "'" in w]
+    branches = []
+    if plain:
+        branches.append(
+            r"(?:%s)(?!'?\w)" % "|".join(re.escape(w) for w in plain)
+        )
+    if apos:
+        branches.append(r"(?:%s)(?!\w)" % "|".join(re.escape(w) for w in apos))
     return re.compile(
-        r"(?<!\w)(?<!\w')(?:%s)(?!'?\w)" % alt, re.IGNORECASE | re.UNICODE
+        r"(?<!\w)(?<!\w')(?:%s)" % "|".join(branches),
+        re.IGNORECASE | re.UNICODE,
     )
 
 

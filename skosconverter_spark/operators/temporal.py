@@ -110,7 +110,7 @@ def range_join(
     right: DataFrame,
     key_cols: list[str],
     ts_col: str = "ts",
-    max_gap_seconds: int = 600,
+    max_gap_seconds: float = 600,
     right_prefix: str = "right_",
 ) -> DataFrame:
     """All (left, right) pairs per key with |l.ts − r.ts| ≤ gap.
@@ -125,24 +125,26 @@ def range_join(
     dedup pass is needed. Cost: 3× right replication + one hash join —
     instead of a cross product.
 
-    Buckets are computed on second-truncated timestamps (cheap integer
-    math); the final verify filter is exact fractional-epoch so the
-    |Δts| ≤ gap contract holds to the microsecond. The truncation cannot
-    lose a pair: |Δ_exact| ≤ gap ⇒ the truncated difference is ≤ gap
-    (integer), so qualifying pairs still land within ±1 bucket."""
-    gap = F.lit(max_gap_seconds)
+    Buckets and the verify filter both run on the exact microsecond
+    epoch, with the gap rounded ONCE to integer microseconds
+    (``round(max_gap_seconds * 1e6)``). Fractional gaps (0.5 s) are
+    therefore exact rather than silently truncating to 0 in the verify
+    gate, and the ±1-bucket completeness argument is airtight for any
+    positive gap: |Δ_micros| ≤ gap_micros ⇒ the bucket indices differ by
+    at most 1."""
+    gap_micros = round(max_gap_seconds * 1_000_000)
+    if gap_micros <= 0:
+        raise ValueError(f"max_gap_seconds must be positive, got {max_gap_seconds}")
+    gap_us = F.lit(gap_micros)
     payload = [c for c in right.columns if c not in (*key_cols, ts_col)]
-    l = left.withColumn("_b", F.floor(F.unix_timestamp(F.col(ts_col)) / gap))
+    l = left.withColumn("_b", F.floor(_epoch_micros(F.col(ts_col)) / gap_us))
+    r_bucket = F.floor(_epoch_micros(F.col(ts_col)) / gap_us)
     r = right.select(
         *key_cols,
         F.col(ts_col).alias(f"{right_prefix}{ts_col}"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
         F.explode(
-            F.array(
-                F.floor(F.unix_timestamp(F.col(ts_col)) / gap) - 1,
-                F.floor(F.unix_timestamp(F.col(ts_col)) / gap),
-                F.floor(F.unix_timestamp(F.col(ts_col)) / gap) + 1,
-            )
+            F.array(r_bucket - 1, r_bucket, r_bucket + 1)
         ).alias("_b"),
     )
     return (
@@ -152,7 +154,7 @@ def range_join(
                 _epoch_micros(F.col(ts_col))
                 - _epoch_micros(F.col(f"{right_prefix}{ts_col}"))
             )
-            <= gap.cast("long") * 1_000_000
+            <= gap_us
         )
         .drop("_b")
     )

@@ -90,6 +90,11 @@ TRICKY_TEXTS = [
     "New   York!  new\n\nyork city; New-York; newyork; New Yorkshire",
     "big\t\t...\napple and a big apple pie and big apples",
     "the coeur d'or and d'or alone; d'ors should not hit",
+    # apostrophe vocab token followed by '+word: _WORD_RE tokenizes
+    # "d'or's" as "d'or"+"s", so d'or IS a mention (round-3 kernel
+    # regression: a single (?!'?\w) lookahead rejected these).
+    "d'or's owner kept the coeur d'or'x and D'OR'S twin",
+    "d'orx is one token (no hit); so is xd'or",
     "NEW YORK CITY limits: overlapping new, new york, new york city",
     "cat" * 3 + " catcat cat",  # concatenations are single tokens
     "",

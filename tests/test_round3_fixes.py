@@ -75,6 +75,36 @@ def test_range_join_exact_fractional_gap(spark):
     assert got == {"under", "edge"}
 
 
+def test_range_join_subsecond_gap(spark):
+    """A fractional max_gap_seconds (0.5) must be honored exactly —
+    round-3 ADVICE: gap.cast('long') truncated 0.5 → 0 in the verify
+    gate, silently returning only exact-equal timestamps."""
+    import pytest
+
+    from skosconverter_spark.operators.temporal import range_join
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(microseconds=400_000), "in_04"),
+            (1, base + dt.timedelta(microseconds=500_000), "edge_05"),
+            (1, base + dt.timedelta(microseconds=500_001), "out_0500001"),
+            (1, base - dt.timedelta(microseconds=300_000), "in_neg03"),
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, base, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.tag
+        for r in range_join(left, right, ["user_id"], "ts", 0.5).collect()
+    }
+    assert got == {"in_04", "edge_05", "in_neg03"}
+    with pytest.raises(ValueError):
+        range_join(left, right, ["user_id"], "ts", 0)
+
+
 # --------------------------------------------------------------------------
 # asof_join right-side uniqueness contract (ADVICE: docstring promised an
 # assertion that didn't exist)

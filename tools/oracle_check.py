@@ -47,6 +47,54 @@ def df_to_rows(cols, rows):
     ), [cols[i] for i in order]
 
 
+def coarse_type(t: str) -> str:
+    """Collapse a Spark dtype / DuckDB type string into a comparable family.
+
+    The driver gate hashes *typed* values (Arrow), so e.g. DuckDB HUGEINT
+    (what windowed sum(BIGINT) returns) hash-differs from Spark BIGINT even
+    when every value is equal — corpus_pack went red in round 3 exactly this
+    way. HUGEINT deliberately maps to its own family so it never matches:
+    the oracle must CAST it down explicitly.
+    """
+    t = t.lower().strip()
+    if t.startswith(("array<", "list<")) or t.endswith("[]"):
+        return "list"
+    if t.startswith(("struct", "map")) or t.startswith("row("):
+        return "struct"
+    if t == "hugeint" or t == "int128":
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "utinyint", "usmallint", "uinteger", "ubigint",
+             "int8", "int16", "int32", "int64"):
+        return "int"
+    if t in ("double", "float", "real", "float32", "float64"):
+        return "float"
+    if t.startswith("decimal") or t.startswith("numeric"):
+        return "decimal"
+    if t in ("string", "varchar", "text", "large_string"):
+        return "string"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date" or t.startswith("date32"):
+        return "date"
+    if t in ("binary", "blob", "varbinary", "bytea"):
+        return "binary"
+    return t
+
+
+def type_drift(scols, sdtypes, ocols, otypes):
+    """Return [(col, spark_family, duck_family), ...] for families that differ."""
+    smap = {c: coarse_type(t) for c, t in zip(scols, sdtypes)}
+    omap = {c: coarse_type(str(t)) for c, t in zip(ocols, otypes)}
+    return [
+        (c, smap[c], omap[c])
+        for c in sorted(set(smap) & set(omap))
+        if smap[c] != omap[c]
+    ]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -70,6 +118,7 @@ def main():
             sdf = fn(spark, sf_dir)
             srows_raw = sdf.collect()
             scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
             srows, scols_sorted = df_to_rows(scols, [tuple(r) for r in srows_raw])
         except Exception as exc:
             print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
@@ -81,6 +130,7 @@ def main():
         try:
             res = con.sql(oracles[name])
             ocols = res.columns
+            otypes = res.types
             orows, ocols_sorted = df_to_rows(ocols, res.fetchall())
         except Exception as exc:
             print(f"FAIL {name}: oracle error {type(exc).__name__}: {exc}")
@@ -88,6 +138,11 @@ def main():
             continue
         if scols_sorted != ocols_sorted:
             print(f"FAIL {name}: columns {scols_sorted} vs {ocols_sorted}")
+            failures.append(name)
+            continue
+        drift = type_drift(scols, sdtypes, ocols, otypes)
+        if drift:
+            print(f"FAIL {name}: type drift (spark vs duckdb): {drift}")
             failures.append(name)
             continue
         if len(srows) != len(orows):
