@@ -102,14 +102,40 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float, text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    n: int = 3,
+    join_cost_budget: int = 50_000_000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set jaccard ≥ τ.
 
     Inverted-index equi-join on the shingle (no cross join); jaccard
     from exact integers so any engine reproduces the double exactly.
-    """
+
+    This is the exact small-corpus VERIFIER: the self-join emits Σ df²
+    rows over shingle document-frequency, which explodes on any corpus
+    where shingles repeat — the scale path is ``minhash_lsh_pairs``.
+    To stop a caller pointing it at a corpus by accident, one cheap
+    hash-agg pass computes Σ df² first and raises when it exceeds
+    ``join_cost_budget`` (pass 0 to disable; the estimate never moves
+    the shingle table anywhere)."""
     sh = doc_shingles(docs, text_col, n).localCheckpoint(eager=True)
+    if join_cost_budget:
+        cost_row = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("cost"))
+            .first()
+        )
+        cost = cost_row.cost or 0
+        if cost > join_cost_budget:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the exact all-pairs verifier; this "
+                f"input's inverted-index self-join would emit ~{cost:,} rows "
+                f"(Σ df² > budget {join_cost_budget:,}). Use minhash_lsh_pairs "
+                "for corpus-sized inputs, or raise join_cost_budget explicitly."
+            )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")

@@ -178,11 +178,22 @@ def embedding_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 20_000,
 ) -> DataFrame:
     """(id_a, id_b, score) with cosine ≥ τ. EXACT over all n²/2 pairs —
     a nested-loop self-join. This is the small-corpus VERIFIER (recall
     oracle for the bucketed plan below), never the scale path: at corpus
-    scale use ``embedding_neardup_bucketed``."""
+    scale use ``embedding_neardup_bucketed`` or ``_srp``. Guarded like
+    render.guard_driver_sized: limit(max_rows+1).count() proves whether
+    row max_rows+1 exists without moving data, and raises rather than
+    launching an n² join on a corpus (max_rows=0 disables)."""
+    if max_rows and vectors.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact O(n²) verifier and is "
+            f"gated at {max_rows} vectors; this input exceeds it. Use "
+            "embedding_neardup_bucketed / embedding_neardup_srp for "
+            "corpus-sized inputs, or raise max_rows explicitly."
+        )
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
     return (

@@ -1,0 +1,83 @@
+"""Round-4 fixes pinned by VERDICT.md r3 / ADVICE.md:
+
+- the all-pairs verifiers (ngram jaccard, exact embedding neardup) must
+  fail fast when pointed at corpus-sized inputs instead of launching a
+  quadratic join;
+- corpus_length_deciles must not contain a corpus-wide single-partition
+  ntile window (the histogram construction replaces it) while keeping
+  ntile-identical results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+
+
+def test_ngram_jaccard_guard_trips_and_disables(spark):
+    from skosconverter_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, ["the cat sat on the mat today"] * 6)
+    with pytest.raises(ValueError, match="all-pairs verifier"):
+        ngram_jaccard_pairs(docs, 0.5, join_cost_budget=10).count()
+    # budget 0 disables; identical duplicate texts -> all 15 pairs at 1.0
+    got = ngram_jaccard_pairs(docs, 0.5, join_cost_budget=0).collect()
+    assert len(got) == 15 and all(r.jaccard == 1.0 for r in got)
+    # default budget unchanged semantics on small input
+    assert ngram_jaccard_pairs(docs, 0.5).count() == 15
+
+
+def test_embedding_neardup_guard(spark):
+    from skosconverter_spark.operators.similarity import embedding_neardup_pairs
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\) verifier"):
+        embedding_neardup_pairs(vecs, 0.9, max_rows=4)
+    assert embedding_neardup_pairs(vecs, 0.9, max_rows=5).count() == 10
+    assert embedding_neardup_pairs(vecs, 0.9, max_rows=0).count() == 10
+
+
+def test_length_deciles_matches_ntile_and_avoids_global_window(spark):
+    from pyspark.sql import Window
+
+    from skosconverter_spark.functions.text import corpus_length_deciles
+
+    # 47 docs, duplicate lengths straddling decile boundaries (47 = 4*10+7:
+    # first 7 deciles get 5 rows, the rest 4)
+    rows = [(f"d{i:03d}", (i * 7) % 13 + 1) for i in range(47)]
+    df = spark.createDataFrame(rows, "doc_id string, n_chars int")
+    got = {
+        r.decile: (r.n_docs, r.min_len, r.max_len, r.mean_len)
+        for r in corpus_length_deciles(df).collect()
+    }
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    want = {
+        r.decile: (r.n_docs, r.min_len, r.max_len, r.mean_len)
+        for r in df.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_len"),
+            F.max("n_chars").alias("max_len"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_len"),
+        )
+        .collect()
+    }
+    assert got == want
+    # fewer docs than deciles: ntile emits only deciles 1..n
+    small = spark.createDataFrame(rows[:3], "doc_id string, n_chars int")
+    got_small = {r.decile: r.n_docs for r in corpus_length_deciles(small).collect()}
+    assert got_small == {1: 1, 2: 1, 3: 1}
+    # the physical plan must not ntile the corpus through one partition
+    plan = corpus_length_deciles(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
