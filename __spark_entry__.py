@@ -102,6 +102,96 @@ def q_skos_polyhierarchy(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# validator family (SURVEY §2 A1-A4/J5-J8/F8/R1-R2) over the DIRTY bridge:
+# the clean vocabulary plus deterministically planted defects
+# (tpch_bridge.dirty_triples_from_tpch documents every rule)
+# --------------------------------------------------------------------------
+
+
+def _dirty(spark, sf_dir):
+    from skosconverter_spark.tpch_bridge import dirty_triples_from_tpch
+
+    return dirty_triples_from_tpch(spark, sf_dir)
+
+
+def q_skos_val_duplicate_uris(spark, sf_dir):
+    from skosconverter_spark.operators.validate import duplicate_uris
+
+    return duplicate_uris(_dirty(spark, sf_dir)).select(
+        "uri", F.col("count").alias("n_types")
+    )
+
+
+def q_skos_val_missing_labels(spark, sf_dir):
+    from skosconverter_spark.operators.validate import missing_labels
+
+    return missing_labels(_dirty(spark, sf_dir)).select("uri")
+
+
+def q_skos_val_multiple_preflabels(spark, sf_dir):
+    from skosconverter_spark.operators.validate import multiple_pref_labels
+
+    return multiple_pref_labels(_dirty(spark, sf_dir)).select(
+        "uri",
+        "lang",
+        F.array_join("labels", ",").alias("labels"),
+        F.size("labels").alias("n_labels"),
+    )
+
+
+def q_skos_val_self_references(spark, sf_dir):
+    from skosconverter_spark.operators.validate import self_references
+
+    return self_references(_dirty(spark, sf_dir)).select("uri", "kind")
+
+
+def q_skos_val_no_scheme(spark, sf_dir):
+    from skosconverter_spark.operators.validate import concepts_without_schemes
+
+    return concepts_without_schemes(_dirty(spark, sf_dir)).select("uri")
+
+
+def q_skos_val_duplicate_labels(spark, sf_dir):
+    from skosconverter_spark.operators.validate import duplicate_labels
+
+    return duplicate_labels(_dirty(spark, sf_dir)).select(
+        "label",
+        F.array_join("uris", ",").alias("uris"),
+        F.size("uris").alias("n_uris"),
+    )
+
+
+def q_skos_val_top_inconsistencies(spark, sf_dir):
+    from skosconverter_spark.operators.validate import top_concept_inconsistencies
+
+    return top_concept_inconsistencies(_dirty(spark, sf_dir)).select(
+        "scheme", "direction", F.array_join("concepts", ",").alias("concepts")
+    )
+
+
+def q_skos_val_orphans(spark, sf_dir):
+    from skosconverter_spark.operators.validate import validator_orphans
+
+    return validator_orphans(_dirty(spark, sf_dir)).select("uri")
+
+
+def q_skos_val_cycles(spark, sf_dir):
+    from skosconverter_spark.operators.validate import circular_references
+
+    return circular_references(_dirty(spark, sf_dir), EngineConfig()).select(
+        F.array_join("cycle", " -> ").alias("cycle")
+    )
+
+
+def q_skos_val_depths(spark, sf_dir):
+    from skosconverter_spark.operators.validate import hierarchy_depths
+
+    return hierarchy_depths(_dirty(spark, sf_dir), EngineConfig()).select(
+        "root", "depth"
+    )
+
+
+# --------------------------------------------------------------------------
 # deduplication (documents corpus with planted exact + near duplicates)
 # --------------------------------------------------------------------------
 
@@ -851,6 +941,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skos_best_label": q_skos_best_label,
         "skos_orphans": q_skos_orphans,
         "skos_polyhierarchy": q_skos_polyhierarchy,
+        "skos_val_duplicate_uris": q_skos_val_duplicate_uris,
+        "skos_val_missing_labels": q_skos_val_missing_labels,
+        "skos_val_multiple_preflabels": q_skos_val_multiple_preflabels,
+        "skos_val_self_references": q_skos_val_self_references,
+        "skos_val_no_scheme": q_skos_val_no_scheme,
+        "skos_val_duplicate_labels": q_skos_val_duplicate_labels,
+        "skos_val_top_inconsistencies": q_skos_val_top_inconsistencies,
+        "skos_val_orphans": q_skos_val_orphans,
+        "skos_val_cycles": q_skos_val_cycles,
+        "skos_val_depths": q_skos_val_depths,
         "kg_links": q_kg_links,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -960,6 +1060,80 @@ SELECT 'urn:tpch:nation:' || c.nkey AS uri, 2 AS n_parents,
          AS parents
 FROM chain c JOIN tops t USING (rkey)
 WHERE c.pos > 1 AND c.nkey % 11 = 5 AND c.prev_nkey != t.top_nkey
+"""
+
+# ---- validator family over the dirty bridge (planted-defect rules are
+# documented at tpch_bridge.dirty_triples_from_tpch; each oracle re-derives
+# one rule's consequences directly from nation/region) ----
+
+_VAL_DUP_URIS_SQL = """
+SELECT 'urn:tpch:nation:' || n_nationkey AS uri, CAST(2 AS BIGINT) AS n_types
+FROM nation WHERE n_nationkey % 13 = 1
+"""
+
+_VAL_MISSING_LABELS_SQL = """
+SELECT 'urn:tpch:ghost:' || n_nationkey AS uri
+FROM nation WHERE n_nationkey % 9 = 2
+"""
+
+_VAL_MULTI_PREF_SQL = """
+SELECT 'urn:tpch:nation:' || n_nationkey AS uri, 'en' AS lang,
+       n_name || ',' || n_name || '-bis' AS labels, 2 AS n_labels
+FROM nation WHERE n_nationkey % 6 = 0
+"""
+
+_VAL_SELF_REFS_SQL = """
+SELECT 'urn:tpch:nation:' || n_nationkey AS uri, 'broader' AS kind
+FROM nation WHERE n_nationkey % 17 = 4
+"""
+
+_VAL_NO_SCHEME_SQL = _VAL_MISSING_LABELS_SQL
+
+_VAL_DUP_LABELS_SQL = """
+WITH s AS (
+  SELECT n_nationkey AS nkey, 'SHARED-' || (n_nationkey % 2) AS label
+  FROM nation WHERE n_nationkey % 5 = 1
+)
+SELECT label,
+       string_agg('urn:tpch:nation:' || nkey, ',' ORDER BY nkey) AS uris,
+       CAST(count(*) AS INT) AS n_uris
+FROM s GROUP BY label HAVING count(*) > 1
+"""
+
+_VAL_TOP_INCONSISTENCIES_SQL = f"""
+WITH {ORACLE_CHAIN_CTE.strip()}
+SELECT 'urn:tpch:region:' || rkey AS scheme, 'missing_top_of' AS direction,
+       'urn:tpch:nation:' || nkey AS concepts
+FROM chain WHERE pos = 2
+UNION ALL
+SELECT 'urn:tpch:region:' || rkey, 'missing_has_top',
+       'urn:tpch:nation:' || nkey
+FROM chain WHERE pos = 3
+"""
+
+_VAL_ORPHANS_SQL = """
+SELECT 'urn:tpch:nation:' || n_nationkey AS uri
+FROM nation WHERE n_nationkey % 7 = 3
+UNION ALL
+SELECT 'urn:tpch:ghost:' || n_nationkey
+FROM nation WHERE n_nationkey % 9 = 2
+"""
+
+_VAL_CYCLES_SQL = """
+SELECT 'urn:tpch:cyc:' || r_regionkey || ':0 -> '
+    || 'urn:tpch:cyc:' || r_regionkey || ':1 -> '
+    || 'urn:tpch:cyc:' || r_regionkey || ':2 -> '
+    || 'urn:tpch:cyc:' || r_regionkey || ':0' AS cycle
+FROM region
+"""
+
+_VAL_DEPTHS_SQL = f"""
+WITH {ORACLE_CHAIN_CTE.strip()},
+sz AS (SELECT rkey, count(*) AS n FROM elig GROUP BY rkey)
+SELECT 'urn:tpch:nation:' || c.nkey AS root,
+       CAST(s.n - c.pos + 1 AS INT) AS depth
+FROM chain c JOIN sz s USING (rkey)
+WHERE c.pos <= 3
 """
 
 # shared SQL fragments for text/dedup oracles
@@ -2096,6 +2270,16 @@ def oracle_sql() -> dict[str, str]:
         "skos_best_label": _SKOS_BEST_LABEL_SQL,
         "skos_orphans": _SKOS_ORPHANS_SQL,
         "skos_polyhierarchy": _SKOS_POLY_SQL,
+        "skos_val_duplicate_uris": _VAL_DUP_URIS_SQL,
+        "skos_val_missing_labels": _VAL_MISSING_LABELS_SQL,
+        "skos_val_multiple_preflabels": _VAL_MULTI_PREF_SQL,
+        "skos_val_self_references": _VAL_SELF_REFS_SQL,
+        "skos_val_no_scheme": _VAL_NO_SCHEME_SQL,
+        "skos_val_duplicate_labels": _VAL_DUP_LABELS_SQL,
+        "skos_val_top_inconsistencies": _VAL_TOP_INCONSISTENCIES_SQL,
+        "skos_val_orphans": _VAL_ORPHANS_SQL,
+        "skos_val_cycles": _VAL_CYCLES_SQL,
+        "skos_val_depths": _VAL_DEPTHS_SQL,
         "kg_links": _kg_links_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": "WITH " + _JACCARD_PAIRS_SQL.format(tau=0.8),

@@ -383,6 +383,17 @@ EXTENSION_QUERIES = [
     "events_rollup",
     "events_top_users",
     "lineitem_pricing",
+    # validator family over the dirty bridge (round 4)
+    "skos_val_duplicate_uris",
+    "skos_val_missing_labels",
+    "skos_val_multiple_preflabels",
+    "skos_val_self_references",
+    "skos_val_no_scheme",
+    "skos_val_duplicate_labels",
+    "skos_val_top_inconsistencies",
+    "skos_val_orphans",
+    "skos_val_cycles",
+    "skos_val_depths",
 ]
 
 
