@@ -29,7 +29,6 @@ measured 8→32 scaling (BASELINE.md: eff 0.27).
 
 from __future__ import annotations
 
-import json
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -51,34 +50,86 @@ class StageRunner:
     root: str
     config: EngineConfig = field(default_factory=EngineConfig)
     force: bool = False  # recompute even when a manifest matches
+    codec: str = "zstd"  # checkpoint compression (zstd ≈ 2× smaller than
+    # snappy on text-heavy stages → half the bytes through the shared
+    # checkpoint store; decode cost is amortized across executors)
+    catalog: object | None = None  # CatalogAdapter; default parquet+manifest
 
-    def _paths(self, stage: str) -> tuple[Path, Path, Path]:
-        base = Path(self.root) / stage
-        return base / "data", base / "_MANIFEST.json", base / "metrics"
+    def __post_init__(self):
+        if self.catalog is None:
+            from skosconverter_spark.kg.catalog import ParquetCatalogAdapter
+
+            self.catalog = ParquetCatalogAdapter(codec=self.codec)
+
+    def _base(self, stage: str) -> Path:
+        return Path(self.root) / stage
 
     def run_stage(
-        self, stage: str, input_fingerprint: str, build  # () -> DataFrame
+        self,
+        stage: str,
+        input_fingerprint: str,
+        build,  # () -> DataFrame
+        persist: bool = True,
     ) -> DataFrame:
-        """Build-or-load one stage; write checkpoint + manifest + metrics."""
-        data, manifest, metrics = self._paths(stage)
-        if not self.force and manifest.exists():
-            m = json.loads(manifest.read_text())
-            if m.get("input_fingerprint") == input_fingerprint:
-                return self.spark.read.parquet(str(data))
+        """Build-or-load one stage; write checkpoint + manifest + metrics.
+
+        ``persist=False`` materializes the stage executor-locally
+        (localCheckpoint → memory/local-disk blocks) instead of writing
+        a parquet checkpoint: downstream stages still read a
+        materialized boundary (no python-stage fusion, results reusable
+        by two consumers), but the bytes never cross the shared
+        checkpoint store. The trade: the stage is NOT resumable (no
+        manifest) — a rerun rebuilds it from its persisted inputs. A
+        matching manifest from a previous persisted run is still
+        honored either way.
+
+        Storage/commit mechanics live behind ``self.catalog``
+        (kg/catalog.py): parquet + JSON manifest here, Iceberg snapshot
+        commits on a real deployment — the pipeline never touches the
+        storage layer directly."""
+        base = self._base(stage)
+        metrics = base / "metrics"
+        if (
+            not self.force
+            and self.catalog.committed_fingerprint(base) == input_fingerprint
+        ):
+            return self.catalog.read(self.spark, base)
         import os
 
         debug = os.environ.get("SPARK_GRAFT_DEBUG_STAGES")
         t0 = time.time()
         df = build()
-        df.write.mode("overwrite").parquet(str(data))
+        if not persist:
+            out = df.localCheckpoint(eager=True)
+            wall_ms = int((time.time() - t0) * 1000)
+            if debug:
+                print(f"    [{stage}] local: {time.time() - t0:.2f}s", flush=True)
+            # lineage over the cached blocks (JVM memory scan — cheap,
+            # and these stages have no parquet footers to read)
+            per_part_rows = [
+                (r["pid"], r["rows"])
+                for r in out.groupBy(
+                    F.spark_partition_id().alias("pid")
+                ).count().withColumnRenamed("count", "rows").collect()
+            ]
+            _write_metrics_parquet(
+                metrics,
+                [
+                    (stage, pid, n, wall_ms, input_fingerprint)
+                    for pid, n in sorted(per_part_rows)
+                ]
+                or [(stage, -1, 0, wall_ms, input_fingerprint)],
+            )
+            return out
+        self.catalog.write(df, base)
         if debug:
             print(f"    [{stage}] write: {time.time() - t0:.2f}s", flush=True)
-        out = self.spark.read.parquet(str(data))
+        out = self.catalog.read(self.spark, base)
         wall_ms = int((time.time() - t0) * 1000)
-        # per-partition lineage from the written files' parquet footers —
-        # metadata-only (the Iceberg-manifest analogue), no Spark job, no
-        # second scan of the stage output
-        per_part_rows = _footer_row_counts(data)
+        # per-partition lineage from the catalog's commit metadata
+        # (parquet footers / Iceberg manifest entries) — metadata-only,
+        # no Spark job, no second scan of the stage output
+        per_part_rows = self.catalog.partition_rows(base)
         rows = sum(n for _, n in per_part_rows)
         _write_metrics_parquet(
             metrics,
@@ -88,37 +139,13 @@ class StageRunner:
             ]
             or [(stage, -1, 0, wall_ms, input_fingerprint)],
         )
-        manifest.parent.mkdir(parents=True, exist_ok=True)
-        manifest.write_text(
-            json.dumps(
-                {
-                    "stage": stage,
-                    "input_fingerprint": input_fingerprint,
-                    "rows": rows,
-                    "wall_ms": wall_ms,
-                },
-                indent=2,
-            )
-        )
+        self.catalog.commit(base, stage, input_fingerprint, rows, wall_ms)
         return out
 
     def stage_metrics(self) -> DataFrame:
         """All stages' per-partition lineage metrics."""
         paths = [str(p) for p in Path(self.root).glob("*/metrics") if p.exists()]
         return self.spark.read.parquet(*paths)
-
-
-def _footer_row_counts(data: Path) -> list[tuple[int, int]]:
-    """(write_partition_id, rows) per output file, read from parquet
-    footers only. The file name's task index (part-NNNNN-...) is the
-    writing partition — true WRITE lineage, unlike a read-back
-    spark_partition_id groupBy (which reports file-split read tasks)."""
-    import pyarrow.parquet as pq
-
-    out = []
-    for f in sorted(data.glob("part-*.parquet")):
-        out.append((int(f.name.split("-")[1]), pq.ParquetFile(f).metadata.num_rows))
-    return out
 
 
 _METRICS_SCHEMA = (
@@ -172,11 +199,22 @@ def run_pipeline(
     partitions: int | None = None,
     link_threshold: float = 0.25,
     force: bool = False,
+    persist_intermediate: bool = True,
+    codec: str = "zstd",
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full KG pipeline; returns the stage outputs."""
+    """Run (or resume) the full KG pipeline; returns the stage outputs.
+
+    ``persist_intermediate=False`` keeps the re-derivable middle stages
+    (20_mentions, 40_page_triples) executor-local instead of writing
+    them to the checkpoint store: resume then restarts from 10_extract
+    rather than mid-DAG, but every byte of intermediate state stays off
+    the shared disk — the right trade when checkpoint I/O, not compute,
+    bounds scaling (BASELINE.md's single-box pipeline measurements).
+    10_extract (the expensive Arrow stage) and the final sinks are
+    always persisted."""
     config = config or EngineConfig()
     parts = partitions or spark.sparkContext.defaultParallelism
-    runner = StageRunner(spark, root, config, force=force)
+    runner = StageRunner(spark, root, config, force=force, codec=codec)
 
     fp_pages = fingerprint_of(pages, ["url"])
     fp_vocab = fingerprint_of(vocab_triples, ["subj", "pred", "obj"])
@@ -203,6 +241,7 @@ def run_pipeline(
             "20_mentions",
             f"{fp_pages}|{fp_vocab}",
             lambda: scan_mentions(pages_text, vocab_triples),
+            persist_intermediate,
         )
         f_page_triples = pool.submit(
             runner.run_stage,
@@ -218,6 +257,7 @@ def run_pipeline(
                     config,
                 )
             ),
+            persist_intermediate,
         )
         mentions = f_mentions.result()
         page_triples = f_page_triples.result()
@@ -248,9 +288,11 @@ def run_pipeline(
         triples = f_triples.result()
 
     # final graph table: pred-partitioned so triple-pattern scans prune
-    graph_dir = str(Path(root) / "60_graph")
-    triples.write.mode("overwrite").partitionBy("pred").parquet(graph_dir)
-    graph = spark.read.parquet(graph_dir)
+    # (committed through the catalog adapter like every stage; on Iceberg
+    # this is a partitioned+bucketed table spec)
+    graph_base = Path(root) / "60_graph"
+    runner.catalog.write(triples, graph_base, partition_by=("pred",))
+    graph = runner.catalog.read(spark, graph_base)
 
     return {
         "pages_text": pages_text,

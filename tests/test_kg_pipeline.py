@@ -151,6 +151,35 @@ def test_pipeline_end_to_end_and_resume(spark, pages, vocab, tmp_path):
     assert resume_s < 30, f"resume took {resume_s:.1f}s — checkpoints not reused?"
 
 
+def test_pipeline_unpersisted_intermediates_identical(spark, pages, vocab, tmp_path):
+    """persist_intermediate=False keeps 20_mentions/40_page_triples
+    executor-local: same results, lineage metrics still present, and no
+    parquet checkpoint written for those stages."""
+    persisted = run_pipeline(
+        spark, pages, vocab, str(tmp_path / "kg_p"), partitions=4
+    )
+    local = run_pipeline(
+        spark,
+        pages,
+        vocab,
+        str(tmp_path / "kg_l"),
+        partitions=4,
+        persist_intermediate=False,
+    )
+    key = lambda df: sorted(
+        (r.subj, r.pred, r.obj, r.obj_lang) for r in df.collect()
+    )
+    assert key(local["triples"]) == key(persisted["triples"])
+    assert local["links"].count() == persisted["links"].count()
+    for stage in ("20_mentions", "40_page_triples"):
+        base = tmp_path / "kg_l" / stage
+        assert not (base / "data").exists()
+        assert not (base / "_MANIFEST.json").exists()
+        assert (base / "metrics").exists()
+    stages = {r.stage for r in local["metrics"].select("stage").distinct().collect()}
+    assert {"10_extract", "20_mentions", "30_links", "40_page_triples", "50_canonical"} <= stages
+
+
 def test_salted_repartition_bounds_skew(spark, pages):
     from skosconverter_spark.kg.extract import salted_repartition
 
@@ -165,3 +194,35 @@ def test_salted_repartition_bounds_skew(spark, pages):
     mean = sum(salt_sizes) / len(salt_sizes)
     assert max(salt_sizes) <= 1.6 * mean, f"salted partitions skewed: {salt_sizes}"
     assert min(salt_sizes) >= 0.4 * mean, f"salted partitions skewed: {salt_sizes}"
+
+
+def test_catalog_adapter_seam(spark, pages, vocab, tmp_path):
+    """StageRunner delegates storage/commit to a CatalogAdapter: an
+    explicit parquet adapter behaves like the default, and the Iceberg
+    adapter fails loudly (not silently) without a configured catalog."""
+    import pytest as _pytest
+
+    from skosconverter_spark.kg.catalog import (
+        IcebergCatalogAdapter,
+        ParquetCatalogAdapter,
+    )
+    from skosconverter_spark.kg.pipeline import StageRunner, fingerprint_of
+
+    runner = StageRunner(
+        spark, str(tmp_path / "kg"), catalog=ParquetCatalogAdapter(codec="snappy")
+    )
+    fp = fingerprint_of(pages, ["url"])
+    out = runner.run_stage("10_extract", fp, lambda: pages.select("url"))
+    assert out.count() == pages.count()
+    # commit recorded -> second call loads instead of rebuilding
+    calls = []
+    out2 = runner.run_stage(
+        "10_extract", fp, lambda: calls.append(1) or pages.select("url")
+    )
+    assert out2.count() == pages.count() and not calls
+    # lineage came from the adapter's commit metadata
+    assert runner.stage_metrics().count() > 0
+
+    ice = StageRunner(spark, str(tmp_path / "ice"), catalog=IcebergCatalogAdapter())
+    with _pytest.raises(NotImplementedError, match="Iceberg"):
+        ice.run_stage("10_extract", fp, lambda: pages.select("url"))
