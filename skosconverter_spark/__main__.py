@@ -177,6 +177,13 @@ def run(argv: list[str] | None = None, spark=None) -> int:
                 f"Created {out} ({summary['triples']} triples, "
                 f"{summary['concepts']} concepts, {summary['schemes']} schemes)"
             )
+            # the reference's rule recap (:1960-1969)
+            from skosconverter_spark.operators.console import (
+                skos_conversion_summary,
+            )
+
+            for line in skos_conversion_summary():
+                print(line)
             return 0
 
         fmt, fext = _FMT_BY_COMMAND[args.command]
@@ -203,6 +210,12 @@ def run(argv: list[str] | None = None, spark=None) -> int:
             print(f"  WARNING: {w}", file=sys.stderr)
         out.write_text(text, encoding="utf-8")
         print(f"Created {out}")
+        # the reference's post-conversion import hints (:1926-1957);
+        # its format names differ from our short codes only for markdown
+        from skosconverter_spark.operators.console import import_instructions
+
+        for line in import_instructions("markdown" if fmt == "md" else fmt):
+            print(line)
         return 0
     finally:
         if own_session:

@@ -74,3 +74,23 @@ def test_cli_rejects_dead_markdown_styles(spark):
 def test_cli_missing_input(spark):
     rc = run(["to-csv", "/nonexistent/file.ttl"], spark=spark)
     assert rc == 1
+
+
+def test_cli_prints_reference_import_hints(spark, tmp_path, capsys):
+    rc = run(
+        ["to-csv", str(DATA / "vocab_basic.ttl"), "--output", str(tmp_path / "h")],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Conversion to CSV complete!" in out
+    assert "• Use 'Title' column as the main identifier" in out
+
+    rc = run(
+        ["to-skos", str(DATA / "md_basic.md"), "--output", str(tmp_path / "s")],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "✅ Notion to SKOS conversion complete!" in out
+    assert "- Missing definitions replaced with 'Lorem ipsum'" in out

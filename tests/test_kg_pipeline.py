@@ -224,5 +224,5 @@ def test_catalog_adapter_seam(spark, pages, vocab, tmp_path):
     assert runner.stage_metrics().count() > 0
 
     ice = StageRunner(spark, str(tmp_path / "ice"), catalog=IcebergCatalogAdapter())
-    with _pytest.raises(NotImplementedError, match="Iceberg"):
+    with _pytest.raises(NotImplementedError, match="requires catalog"):
         ice.run_stage("10_extract", fp, lambda: pages.select("url"))
