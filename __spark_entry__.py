@@ -720,6 +720,41 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_new_docs(existing, new)
 
 
+def q_corpus_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb corpus-wide line dedup. The synthetic documents are
+    single-line token streams, so the query builds multi-line docs the
+    oracle can reconstruct: line 0 = the doc's own 80-char head, line 1
+    = the head of doc (doc_id % 100) — a real cross-document boilerplate
+    line — plus a trailing empty line (exempt from dedup)."""
+    from skosconverter_spark.operators.dedup import line_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 80).alias("head")
+    )
+    peer = d.select(
+        F.col("doc_id").alias("peer_id"), F.col("head").alias("peer_head")
+    )
+    corpus = (
+        d.withColumn("peer_id", F.col("doc_id") % 100)
+        .join(peer, "peer_id")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("head"), F.lit("\n"), F.col("peer_head"), F.lit("\n")
+            ).alias("text"),
+        )
+    )
+    return line_dedup(corpus)
+
+
+def q_corpus_domain_caps(spark, sf_dir):
+    """FineWeb-style per-domain document cap (15 of each source's 25),
+    deterministic md5 lottery."""
+    from skosconverter_spark.operators.filter import domain_caps
+
+    return domain_caps(_docs(spark, sf_dir), 15)
+
+
 def q_events_topk_per_user(spark, sf_dir):
     """Top-3 events per user by (value desc, event_id) — the grouped
     top-k window every analytics surface ships."""
@@ -997,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "events_running": q_events_running,
         "dedup_incremental": q_dedup_incremental,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_domain_caps": q_corpus_domain_caps,
         "events_topk_per_user": q_events_topk_per_user,
         "events_rolling_hour": q_events_rolling_hour,
         "events_funnel": q_events_funnel,
@@ -2105,6 +2142,46 @@ def _pagerank_sql(damping: float = 0.85, iterations: int = 3) -> str:
     )
 
 
+_LINE_DEDUP_SQL = r"""
+WITH lc AS (
+  SELECT d.doc_id,
+         substring(d.text, 1, 80) || chr(10) || substring(p.text, 1, 80)
+           || chr(10) AS text
+  FROM documents d JOIN documents p ON p.doc_id = d.doc_id % 100
+),
+l AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lc)
+  CROSS JOIN UNNEST(range(1, len(ls) + 1)) AS t(i)
+),
+r AS (SELECT doc_id, pos, line, doc_id * 1000000 + pos AS rnk FROM l),
+w AS (SELECT line, min(rnk) AS win_rank FROM r GROUP BY line),
+k AS (
+  SELECT r.doc_id, r.pos, r.line,
+         (r.rnk = w.win_rank OR r.line = '') AS keep
+  FROM r JOIN w USING (line)
+)
+SELECT doc_id,
+       coalesce(
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''
+       ) AS clean_text,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM k GROUP BY doc_id
+"""
+
+_DOMAIN_CAPS_SQL = r"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substring(md5(doc_id::VARCHAR), 1, 8), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(rank AS INT) AS rank FROM r WHERE rank <= 15
+"""
+
 _DEDUP_INCREMENTAL_SQL = r"""
 WITH existing AS (
   SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -2326,6 +2403,8 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_running": _EVENTS_RUNNING_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "corpus_line_dedup": _LINE_DEDUP_SQL,
+        "corpus_domain_caps": _DOMAIN_CAPS_SQL,
         "events_topk_per_user": _EVENTS_TOPK_SQL,
         "events_rolling_hour": _EVENTS_ROLLING_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,

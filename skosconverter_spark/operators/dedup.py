@@ -74,6 +74,56 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def line_dedup(
+    docs: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_removed): corpus-wide exact line
+    deduplication — the C4/RefinedWeb pass that strips boilerplate
+    repeated across pages (nav bars, cookie banners, footers). Each
+    distinct non-empty line survives only at its FIRST corpus occurrence
+    (min (doc_id, position)); every other occurrence is dropped and the
+    document reassembled from its surviving lines in order. Empty lines
+    are exempt (they are structure, not content).
+
+    Plan shape at scale: posexplode (one pass) → per-line winner as a
+    hash agg on the line key (uniform md5-sized keys, map-side partial)
+    → one equi-join back on the line → per-doc re-aggregation keyed by
+    doc_id. Two shuffles total, both on uniform keys; no windows, no
+    all-pairs anything."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    # the winner is min over the (doc_id, pos) total order — a plain
+    # min(struct) hash agg, valid for any orderable doc_id type
+    ranked = lines.withColumn("rank", F.struct("doc_id", "pos"))
+    winners = ranked.groupBy("line").agg(F.min("rank").alias("win_rank"))
+    kept = ranked.join(winners, "line").withColumn(
+        "keep", (F.col("rank") == F.col("win_rank")) | (F.col("line") == "")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", F.col("line").alias("v")),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+        )
+    )
+
+
 def incremental_new_docs(
     existing_fps: DataFrame, new_docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:

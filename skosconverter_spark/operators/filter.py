@@ -239,6 +239,38 @@ def fraction_threshold(fraction: float) -> str:
     return format(int(fraction * 16**8), "08x")
 
 
+def domain_caps(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """(doc_id, <domain_col>, rank): at most ``cap`` documents per
+    domain — the FineWeb-style anti-spam guard against one host
+    dominating a crawl snapshot. Selection is a deterministic hash
+    lottery (same md5 coordinate as ``hash_sample``, doc_id tiebreak),
+    so the surviving set is stable across runs, partitionings, and
+    cluster sizes, and re-crawls keep the same winners.
+
+    Plan: one window ranked within the domain key — the shuffle is on
+    the domain, which is exactly the skewed key the operator exists to
+    cap; rows beyond the cap are filtered before any downstream stage
+    sees them. (The window sort is per-domain, bounded by that domain's
+    row count — for truly pathological hosts, cap the input first with
+    ``hash_sample`` on (domain||salt).)"""
+    if cap < 1:
+        raise ValueError(f"domain_caps cap must be >= 1, got {cap}")
+    w = Window.partitionBy(domain_col).orderBy(
+        sample_key(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.select(key_col, domain_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

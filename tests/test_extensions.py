@@ -383,6 +383,8 @@ EXTENSION_QUERIES = [
     "events_rollup",
     "events_top_users",
     "lineitem_pricing",
+    "corpus_line_dedup",
+    "corpus_domain_caps",
     # validator family over the dirty bridge (round 4)
     "skos_val_duplicate_uris",
     "skos_val_missing_labels",

@@ -81,3 +81,46 @@ def test_length_deciles_matches_ntile_and_avoids_global_window(spark):
     # the physical plan must not ntile the corpus through one partition
     plan = corpus_length_deciles(df)._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan
+
+
+def test_line_dedup_planted(spark):
+    from skosconverter_spark.operators.dedup import line_dedup
+
+    boiler = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            ("a", f"alpha content\n{boiler}\n\nmore alpha"),
+            ("b", f"{boiler}\nbeta content\n"),
+            ("c", f"gamma content\n{boiler}"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+           for r in line_dedup(docs).collect()}
+    # doc a holds the first occurrence (pos 1) -> keeps everything;
+    # empty line exempt everywhere
+    assert got["a"] == (f"alpha content\n{boiler}\n\nmore alpha", 4, 0)
+    assert got["b"] == ("beta content\n", 2, 1)
+    assert got["c"] == ("gamma content", 1, 1)
+
+
+def test_domain_caps_planted(spark):
+    import pytest as _pytest
+
+    from skosconverter_spark.operators.filter import domain_caps
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 20 else "small") for i in range(23)],
+        "doc_id long, source string",
+    )
+    out = domain_caps(docs, 4, key_col="doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src["big"]) == 4          # capped
+    assert sorted(by_src["small"]) == [20, 21, 22]  # under cap: all survive
+    # deterministic under repartitioning
+    again = domain_caps(docs.repartition(7), 4, key_col="doc_id").collect()
+    assert {(r.doc_id, r.rank) for r in again} == {(r.doc_id, r.rank) for r in out}
+    with _pytest.raises(ValueError):
+        domain_caps(docs, 0)
