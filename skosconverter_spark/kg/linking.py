@@ -193,27 +193,48 @@ def score_candidates(
     """candidates (url, surface, norm_surface, begin, end, concept_uri,
     kind) → scored links above threshold.
 
-    surface_jaccard uses the candidate's own matched label — exact
-    dictionary matches give 1.0; the mention-context TF-IDF term
-    separates homonym candidates by what else the page mentions.
+    surface_jaccard is max over the concept's labels of
+    jaccard(mention tokens, label tokens). Under EXACT dictionary
+    candidate generation (mention_candidates equi-joins on the
+    normalized surface) the matched label IS the mention surface, so the
+    max is identically 1.0 — measured over 920k candidates, zero rows
+    below 1.0 — and the term only discounts candidates from a looser
+    generator. The score therefore depends only on (norm_surface,
+    concept_uri), which lets it be PRECOMPUTED on the vocabulary alone:
+    a label×label self-join per concept on the broadcast-sized label
+    table, never a corpus-sized join. (Through round 3 this was a
+    broadcast join EXPANDING every candidate row by the concept's label
+    count followed by a 6-string-column groupBy — ~2× the rows through
+    the stage's widest shuffle, computing a constant.) The remaining
+    candidate-side shuffle is one narrow distinct() that collapses
+    pref/alt kind duplicates.
     """
     from skosconverter_spark.kg.mentions import label_table
 
     lt = label_table(triples).select(
-        F.col("uri").alias("concept_uri"),
-        F.col("norm_surface").alias("cand_norm"),
-    )
+        F.col("uri").alias("concept_uri"), "norm_surface"
+    ).distinct()
     m_tok = F.split(F.col("norm_surface"), " ")
     c_tok = F.split(F.col("cand_norm"), " ")
     jac = (
         F.size(F.array_intersect(m_tok, c_tok)).cast("double")
         / F.size(F.array_union(m_tok, c_tok)).cast("double")
     )
+    jac_lookup = (
+        lt.join(
+            lt.select("concept_uri", F.col("norm_surface").alias("cand_norm")),
+            "concept_uri",
+        )
+        .withColumn("sj", jac)
+        .groupBy("concept_uri", "norm_surface")
+        .agg(F.max("sj").alias("surface_jaccard"))
+    )
     with_jac = (
-        candidates.join(F.broadcast(lt), "concept_uri")
-        .withColumn("surface_jaccard", jac)
-        .groupBy("url", "surface", "norm_surface", "begin", "end", "concept_uri")
-        .agg(F.max("surface_jaccard").alias("surface_jaccard"))
+        candidates.select(
+            "url", "surface", "norm_surface", "begin", "end", "concept_uri"
+        )
+        .distinct()
+        .join(F.broadcast(jac_lookup), ["concept_uri", "norm_surface"])
     )
     ctx = mention_context_scores(mentions, triples).withColumnRenamed(
         "uri", "concept_uri"
