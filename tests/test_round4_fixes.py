@@ -124,3 +124,27 @@ def test_domain_caps_planted(spark):
     assert {(r.doc_id, r.rank) for r in again} == {(r.doc_id, r.rank) for r in out}
     with _pytest.raises(ValueError):
         domain_caps(docs, 0)
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """The spark-submit --py-files artifact contains the whole package
+    and is importable from the zip alone (what executors do)."""
+    import subprocess
+    import sys as _sys
+
+    from tools.make_submit import build
+
+    out = tmp_path / "skosconverter_spark.zip"
+    names = build(out)
+    assert "skosconverter_spark/kg/pipeline.py" in names
+    assert not any("tests/" in n or "__pycache__" in n for n in names)
+    probe = (
+        "import sys; sys.path.insert(0, %r); "
+        "import skosconverter_spark.operators.dedup as d; "
+        "import skosconverter_spark.kg.linking as l; "
+        "print('zip-import-ok')" % str(out)
+    )
+    r = subprocess.run(
+        [_sys.executable, "-c", probe], capture_output=True, text=True, timeout=120
+    )
+    assert "zip-import-ok" in r.stdout, r.stderr[-500:]
