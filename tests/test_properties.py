@@ -117,3 +117,54 @@ def test_markdown_roundtrip_fixed_mode(v):
         t.obj for t in reparsed if t.pred == SKOS_PREF_LABEL and t.obj != "Round"
     )
     assert in_labels == out_labels
+
+
+# --------------------------------------------------------------------------
+# line_dedup differential: Spark operator vs a direct Python reference
+# --------------------------------------------------------------------------
+
+_LINE_ALPHABET = ["nav", "home", "contact", "cookie banner", "body text", ""]
+
+
+@st.composite
+def line_corpus(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    return [
+        (f"d{i:02d}", "\n".join(
+            draw(st.lists(st.sampled_from(_LINE_ALPHABET), min_size=0, max_size=6))
+        ))
+        for i in range(n_docs)
+    ]
+
+
+def _line_dedup_ref(docs: list[tuple[str, str]]):
+    """First corpus-wide occurrence of each non-empty line wins (order by
+    (doc_id, position)); empty lines exempt."""
+    first: dict[str, tuple[str, int]] = {}
+    for doc_id, text in sorted(docs):
+        for pos, line in enumerate(text.split("\n")):
+            if line and line not in first:
+                first[line] = (doc_id, pos)
+    out = {}
+    for doc_id, text in docs:
+        kept, removed = [], 0
+        for pos, line in enumerate(text.split("\n")):
+            if line == "" or first.get(line) == (doc_id, pos):
+                kept.append(line)
+            else:
+                removed += 1
+        out[doc_id] = ("\n".join(kept), len(kept), removed)
+    return out
+
+
+@given(line_corpus())
+@settings(max_examples=25, deadline=None)
+def test_line_dedup_matches_reference(spark, corpus):
+    from skosconverter_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(corpus, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in line_dedup(df).collect()
+    }
+    assert got == _line_dedup_ref(corpus)

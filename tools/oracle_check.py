@@ -99,10 +99,19 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import __spark_entry__ as e
     from skosconverter_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # overridable so determinism can be probed at adversarial
+    # parallelism (e.g. SPARK_ORACLE_MASTER=local[4]
+    # SPARK_ORACLE_PARTS=17): every oracle-checked result must be
+    # identical under any partitioning
+    spark = get_spark(
+        master=os.environ.get("SPARK_ORACLE_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("SPARK_ORACLE_PARTS", "8")),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
