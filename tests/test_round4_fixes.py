@@ -148,3 +148,24 @@ def test_pyfiles_zip_importable(tmp_path):
         [_sys.executable, "-c", probe], capture_output=True, text=True, timeout=120
     )
     assert "zip-import-ok" in r.stdout, r.stderr[-500:]
+
+
+def test_driver_contract_consistency():
+    """Every oracle has a query; every oracle SQL is valid DuckDB
+    (EXPLAIN against empty views — no Spark, no execution)."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.oracle_check import TABLES
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet') LIMIT 0")
+    for name, sql in oracles.items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover - the assertion IS the cover
+            raise AssertionError(f"oracle {name} does not parse: {exc}") from exc
