@@ -226,3 +226,35 @@ def test_catalog_adapter_seam(spark, pages, vocab, tmp_path):
     ice = StageRunner(spark, str(tmp_path / "ice"), catalog=IcebergCatalogAdapter())
     with _pytest.raises(NotImplementedError, match="requires catalog"):
         ice.run_stage("10_extract", fp, lambda: pages.select("url"))
+
+
+def test_pipeline_adversarial_pages(spark, vocab, tmp_path):
+    """Nulls, empties, and a pathological page must not break the
+    pipeline: null html -> empty text; empty text -> no mentions; a
+    500 KB single page flows through the Arrow stages."""
+    import datetime as dt
+
+    from skosconverter_spark.schemas import PAGES
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("http://x.test/null-html", ts, None, None, "en"),
+        ("http://x.test/empty-html", ts, b"", None, "en"),
+        ("http://x.test/huge", ts,
+         ("<html><body>" + "<p>the dog saw the dog. </p>" * 20000 + "</body></html>").encode(),
+         None, "en"),
+        ("http://x.test/no-vocab", ts, b"<html><body><p>zzz qqq</p></body></html>", None, None),
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    out = run_pipeline(spark, pages, vocab, str(tmp_path / "kg_adv"), partitions=2)
+    texts = {r.url: r.text for r in out["pages_text"].collect()}
+    assert set(texts) == {r[0] for r in rows}
+    # contract: null html -> null text, empty html -> "" (both flow
+    # through the scan/parse stages, which skip falsy text)
+    assert texts["http://x.test/null-html"] is None
+    assert texts["http://x.test/empty-html"] == ""
+    assert len(texts["http://x.test/huge"]) > 100_000
+    # mentions only on the page that contains vocabulary
+    urls_with_mentions = {r.url for r in out["mentions"].select("url").distinct().collect()}
+    assert urls_with_mentions == {"http://x.test/huge"}
+    assert out["triples"].count() > 0  # vocabulary triples survive canonicalization
