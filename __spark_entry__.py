@@ -747,6 +747,30 @@ def q_corpus_line_dedup(spark, sf_dir):
     return line_dedup(corpus)
 
 
+def q_corpus_c4_filter(spark, sf_dir):
+    """C4 line-level cleaning over a synthesized multi-line corpus that
+    exercises every rule: a good sentence line (kept), a lorem-ipsum
+    line, a javascript line, a no-terminal-punctuation line, and a
+    too-short line (all dropped)."""
+    from skosconverter_spark.operators.filter import c4_line_filters
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 80).alias("head")
+    )
+    corpus = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("head"), F.lit(".")),
+            F.lit("lorem ipsum dolor sit."),
+            F.lit("Enable JavaScript to view this page."),
+            F.col("head"),
+            F.lit("Too short."),
+        ).alias("text"),
+    )
+    return c4_line_filters(corpus)
+
+
 def q_corpus_domain_caps(spark, sf_dir):
     """FineWeb-style per-domain document cap (15 of each source's 25),
     deterministic md5 lottery."""
@@ -1034,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_domain_caps": q_corpus_domain_caps,
+        "corpus_c4_filter": q_corpus_c4_filter,
         "events_topk_per_user": q_events_topk_per_user,
         "events_rolling_hour": q_events_rolling_hour,
         "events_funnel": q_events_funnel,
@@ -2170,6 +2195,35 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 """
 
+_C4_FILTER_SQL = r"""
+WITH lc AS (
+  SELECT doc_id,
+         substring(text, 1, 80) || '.' || chr(10)
+         || 'lorem ipsum dolor sit.' || chr(10)
+         || 'Enable JavaScript to view this page.' || chr(10)
+         || substring(text, 1, 80) || chr(10)
+         || 'Too short.' AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         list_filter(
+           string_split(text, chr(10)),
+           x -> regexp_matches(x, '[.!?"]\s*$')
+                AND len(list_filter(string_split(trim(x), ' '), t -> t != '')) >= 3
+                AND NOT contains(lower(x), 'lorem ipsum')
+                AND NOT contains(lower(x), 'javascript')
+                AND NOT contains(x, '{')
+         ) AS kept
+  FROM lc
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(len(ls) - len(kept) AS INT) AS n_removed
+FROM s
+"""
+
 _DOMAIN_CAPS_SQL = r"""
 WITH r AS (
   SELECT doc_id, source,
@@ -2405,6 +2459,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "corpus_line_dedup": _LINE_DEDUP_SQL,
         "corpus_domain_caps": _DOMAIN_CAPS_SQL,
+        "corpus_c4_filter": _C4_FILTER_SQL,
         "events_topk_per_user": _EVENTS_TOPK_SQL,
         "events_rolling_hour": _EVENTS_ROLLING_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,

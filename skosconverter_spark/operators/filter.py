@@ -239,6 +239,42 @@ def fraction_threshold(fraction: float) -> str:
     return format(int(fraction * 16**8), "08x")
 
 
+def c4_line_filters(
+    df: DataFrame, text_col: str = "text", min_words: int = 3
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_removed): the C4 line-level
+    cleaning rules (Raffel et al. 2020 §2.2) — keep only lines that end
+    in terminal punctuation, have at least ``min_words`` words, and
+    contain neither "lorem ipsum", "javascript" (placeholder/noscript
+    boilerplate) nor a curly brace (leaked code).
+
+    Pure per-row array expressions — no shuffle at all, the filter runs
+    inside the scan's codegen stage. The higher-order-function lambdas
+    here touch only their bound element (cheap per line), never a
+    captured expensive expression (the [[spark-hof-lambda-pitfall]]
+    class)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(l):
+        words = F.filter(F.split(F.trim(l), " "), lambda t: t != F.lit(""))
+        low = F.lower(l)
+        return (
+            l.rlike(r'[.!?"]\s*$')
+            & (F.size(words) >= min_words)
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+            & ~l.contains("{")
+        )
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_removed"),
+    )
+
+
 def domain_caps(
     df: DataFrame,
     cap: int,

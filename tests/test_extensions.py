@@ -385,6 +385,7 @@ EXTENSION_QUERIES = [
     "lineitem_pricing",
     "corpus_line_dedup",
     "corpus_domain_caps",
+    "corpus_c4_filter",
     # validator family over the dirty bridge (round 4)
     "skos_val_duplicate_uris",
     "skos_val_missing_labels",

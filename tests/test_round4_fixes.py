@@ -169,3 +169,22 @@ def test_driver_contract_consistency():
             con.sql(f"EXPLAIN {sql}")
         except Exception as exc:  # pragma: no cover - the assertion IS the cover
             raise AssertionError(f"oracle {name} does not parse: {exc}") from exc
+
+
+def test_c4_line_filters_planted(spark):
+    from skosconverter_spark.operators.filter import c4_line_filters
+
+    docs = spark.createDataFrame(
+        [
+            ("a", 'A good full sentence stays here.\nno terminal punctuation'
+                  '\nlorem ipsum dolor sit amet.\nWhy use JavaScript here?'
+                  '\nfunction f() { return 1; }.\nOk.\nShe said "stop there."'),
+        ],
+        "doc_id string, text string",
+    )
+    r = c4_line_filters(docs).collect()[0]
+    assert r.clean_text == 'A good full sentence stays here.\nShe said "stop there."'
+    assert (r.n_kept, r.n_removed) == (2, 5)
+    # min_words is configurable
+    r2 = c4_line_filters(docs, min_words=1).collect()[0]
+    assert "Ok." in r2.clean_text and r2.n_kept == 3
