@@ -747,6 +747,43 @@ def q_corpus_line_dedup(spark, sf_dir):
     return line_dedup(corpus)
 
 
+def q_corpus_url_dedup(spark, sf_dir):
+    """URL canonicalization dedup: each doc gets a MESSY crawl URL
+    (casing, default port, tracking params, fragment, trailing slashes,
+    or missing scheme — one family per doc_id % 4) plus the clean
+    equivalent; normalize_url must collapse every pair to one key."""
+    from skosconverter_spark.kg.extract import normalize_urls
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = F.col("doc_id") % 4
+    i = F.col("doc_id").cast("string")
+    messy = d.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW.Example.COM:80/a/"), i,
+                                F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("https://example.org:443/p/"), i,
+                               F.lit("?z=1&y=2")))
+        .when(m == 2, F.concat(F.lit("http://Example.com/a/"), i, F.lit("//")))
+        .otherwise(F.concat(F.lit("sub.example.net/x/"), i, F.lit(" ")))
+        .alias("url"),
+    )
+    clean = d.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("http://www.example.com/a/"), i,
+                                F.lit("?a=1&b=2")))
+        .when(m == 1, F.concat(F.lit("https://example.org/p/"), i,
+                               F.lit("?y=2&z=1")))
+        .when(m == 2, F.concat(F.lit("http://example.com/a/"), i))
+        .otherwise(F.concat(F.lit("Sub.Example.net/x/"), i))
+        .alias("url"),
+    )
+    return (
+        normalize_urls(messy.unionByName(clean))
+        .groupBy("norm_url")
+        .agg(F.count("*").alias("n_urls"), F.min("doc_id").alias("doc_id"))
+    )
+
+
 def q_corpus_c4_filter(spark, sf_dir):
     """C4 line-level cleaning over a synthesized multi-line corpus that
     exercises every rule: a good sentence line (kept), a lorem-ipsum
@@ -1059,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_domain_caps": q_corpus_domain_caps,
         "corpus_c4_filter": q_corpus_c4_filter,
+        "corpus_url_dedup": q_corpus_url_dedup,
         "events_topk_per_user": q_events_topk_per_user,
         "events_rolling_hour": q_events_rolling_hour,
         "events_funnel": q_events_funnel,
@@ -2195,6 +2233,52 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 """
 
+_URL_DEDUP_SQL = r"""
+WITH raw AS (
+  SELECT doc_id, CASE doc_id % 4
+    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || doc_id || '/?utm_source=x&b=2&a=1#frag'
+    WHEN 1 THEN 'https://example.org:443/p/' || doc_id || '?z=1&y=2'
+    WHEN 2 THEN 'http://Example.com/a/' || doc_id || '//'
+    ELSE 'sub.example.net/x/' || doc_id || ' ' END AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE doc_id % 4
+    WHEN 0 THEN 'http://www.example.com/a/' || doc_id || '?a=1&b=2'
+    WHEN 1 THEN 'https://example.org/p/' || doc_id || '?y=2&z=1'
+    WHEN 2 THEN 'http://example.com/a/' || doc_id
+    ELSE 'Sub.Example.net/x/' || doc_id END
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host0,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+      '/+$', '') AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      p -> p != '' AND NOT starts_with(p, 'utm_')
+           AND NOT starts_with(p, 'fbclid='))) AS params
+  FROM raw
+),
+n AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN lower(trim(url))
+         ELSE scheme || '://'
+              || CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                      ELSE host0 END
+              || path
+              || CASE WHEN len(params) > 0
+                      THEN '?' || array_to_string(params, '&') ELSE '' END
+    END AS norm_url
+  FROM parts
+)
+SELECT norm_url, count(*) AS n_urls, min(doc_id) AS doc_id
+FROM n GROUP BY norm_url
+"""
+
 _C4_FILTER_SQL = r"""
 WITH lc AS (
   SELECT doc_id,
@@ -2460,6 +2544,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_line_dedup": _LINE_DEDUP_SQL,
         "corpus_domain_caps": _DOMAIN_CAPS_SQL,
         "corpus_c4_filter": _C4_FILTER_SQL,
+        "corpus_url_dedup": _URL_DEDUP_SQL,
         "events_topk_per_user": _EVENTS_TOPK_SQL,
         "events_rolling_hour": _EVENTS_ROLLING_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,

@@ -133,3 +133,51 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
     regardless of domain skew. Downstream per-domain aggregations should
     pre-aggregate on (domain, salt) first (two-phase agg)."""
     return df.repartition(num_partitions, F.xxhash64(F.col("url")))
+
+
+def normalize_url(u) -> "F.Column":
+    """Canonical URL form for crawl dedup — pure JVM-side expressions
+    (regexp extracts + an array sort), no Python:
+
+    - scheme and host lowercased
+    - default ports stripped (:80 for http, :443 for https)
+    - fragment dropped, trailing path slashes trimmed
+    - query params sorted, with tracking params (utm_*, fbclid) removed
+
+    Two crawls of the same resource with shuffled params / casing /
+    fragments then collide on one key, so URL-level dedup is a plain
+    hash groupBy. Inputs without a scheme pass through lowercased-
+    trimmed (no guessing)."""
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host0 = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host0, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host0, ":443$", ""))
+        .otherwise(host0)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1),
+        "/+$",
+        "",
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("fbclid="),
+        )
+    )
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", F.lower(F.trim(u))).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, query)
+    )
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """df + ``norm_url`` column (see normalize_url)."""
+    return df.withColumn("norm_url", normalize_url(F.col(url_col)))

@@ -386,6 +386,7 @@ EXTENSION_QUERIES = [
     "corpus_line_dedup",
     "corpus_domain_caps",
     "corpus_c4_filter",
+    "corpus_url_dedup",
     # validator family over the dirty bridge (round 4)
     "skos_val_duplicate_uris",
     "skos_val_missing_labels",

@@ -188,3 +188,20 @@ def test_c4_line_filters_planted(spark):
     # min_words is configurable
     r2 = c4_line_filters(docs, min_words=1).collect()[0]
     assert "Ok." in r2.clean_text and r2.n_kept == 3
+
+
+def test_normalize_url_planted(spark):
+    from skosconverter_spark.kg.extract import normalize_urls
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a/1/?utm_source=x&b=2&a=1#f", "http://www.ex.com/a/1?a=1&b=2"),
+        ("https://ex.org:443/p", "https://ex.org/p"),
+        ("https://ex.org:8443/p", "https://ex.org:8443/p"),  # non-default port kept
+        ("http://Ex.com/a//", "http://ex.com/a"),
+        ("http://ex.com/?fbclid=abc", "http://ex.com"),
+        ("no-scheme.example/Path ", "no-scheme.example/path"),
+        ("http://ex.com/q?b=1&a=2&utm_medium=m", "http://ex.com/q?a=2&b=1"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    for r in normalize_urls(df).collect():
+        assert r.norm_url == r.want, (r.url, r.norm_url, r.want)
