@@ -76,7 +76,7 @@ class _Trie:
                 self.prefixes.add(toks[:i])
 
 
-def _hit_regex(trie: "_Trie") -> "re.Pattern | None":
+def _hit_regex(trie: "_Trie", ignorecase: bool = True) -> "re.Pattern | None":
     """One compiled alternation over every token that can START a surface,
     wrapped in the lookarounds that replicate _WORD_RE token boundaries
     exactly: a match begins where a token begins ((?<!\\w) — and not in
@@ -102,10 +102,73 @@ def _hit_regex(trie: "_Trie") -> "re.Pattern | None":
         )
     if apos:
         branches.append(r"(?:%s)(?!\w)" % "|".join(re.escape(w) for w in apos))
+    flags = re.UNICODE | (re.IGNORECASE if ignorecase else 0)
     return re.compile(
-        r"(?<!\w)(?<!\w')(?:%s)" % "|".join(branches),
-        re.IGNORECASE | re.UNICODE,
+        r"(?<!\w)(?<!\w')(?:%s)" % "|".join(branches), flags
     )
+
+
+def _kernel(trie: "_Trie"):
+    """scan_text(text) -> position-sorted [(begin, end, surface, norm)].
+
+    Fast path: one ``.lower()`` of the whole text (C-level) plus a
+    CASE-SENSITIVE alternation scan over it — substantially faster than
+    an IGNORECASE+Unicode scan because the regex engine skips case
+    folding at every position. Offsets in the lowered text map 1:1 to
+    the original whenever lowering preserves LENGTH (Unicode lowercasing
+    never shrinks a string; expansions like 'İ' → 'i̇' change length) —
+    texts failing that guard take the IGNORECASE path over the original
+    text. Final semantics are identical either way: the IGNORECASE scan
+    finds a superset (exotic folds like 'ſ'→'s') that the exact
+    lowercase set probe rejects, while the lowered scan finds exactly
+    the probe-passing hits directly. Differential-tested against the
+    reference trie walk in tests/test_mention_kernel.py (which drives
+    THIS function)."""
+    from itertools import islice
+
+    prefixes = trie.prefixes
+    surfs = trie.surfaces
+    max_len = trie.max_len
+    singles = {t[0] for t in surfs if len(t) == 1}
+    multi_first = {t[0] for t in surfs if len(t) > 1}
+    hit_cs = _hit_regex(trie, ignorecase=False)
+    hit_ci = _hit_regex(trie, ignorecase=True)
+
+    def scan_text(text):
+        rows: list[tuple[int, int, str, str]] = []
+        if not text or hit_cs is None:
+            return rows
+        low = text.lower()
+        if len(low) == len(text):
+            scan_on, rx, lowered = low, hit_cs, True
+        else:  # rare exotic-case page: exact IGNORECASE path
+            scan_on, rx, lowered = text, hit_ci, False
+        for m in rx.finditer(scan_on):
+            w = m.group(0) if lowered else m.group(0).lower()
+            b, e = m.start(), m.end()
+            if w in singles:
+                rows.append((b, e, text[b:e], w))
+            if w in multi_first:
+                toks = [
+                    (
+                        t.group(0) if lowered else t.group(0).lower(),
+                        t.start(),
+                        t.end(),
+                    )
+                    for t in islice(_WORD_RE.finditer(scan_on, b), max_len)
+                ]
+                win = (w,)
+                for l in range(2, len(toks) + 1):
+                    win = win + (toks[l - 1][0],)
+                    if win not in prefixes:
+                        break
+                    if win in surfs:
+                        ge = toks[l - 1][2]
+                        rows.append((b, ge, text[b:ge], " ".join(win)))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
+
+    return scan_text
 
 
 def scan_mentions(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
@@ -137,51 +200,16 @@ def scan_mentions(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
     trie_bc = spark.sparkContext.broadcast(_Trie(surfaces))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from itertools import islice
-
-        trie = trie_bc.value
-        prefixes = trie.prefixes
-        surfs = trie.surfaces
-        max_len = trie.max_len
-        singles = {t[0] for t in surfs if len(t) == 1}
-        multi_first = {t[0] for t in surfs if len(t) > 1}
-        hit_re = _hit_regex(trie)
+        scan_text = _kernel(trie_bc.value)
         for pdf in batches:
             out = {k: [] for k in ("url", "surface", "norm_surface", "begin", "end")}
-            if hit_re is not None:
-                for url, text in zip(pdf["url"], pdf["text"]):
-                    if not text:
-                        continue
-                    rows = []
-                    for m in hit_re.finditer(text):
-                        w = m.group(0).lower()
-                        b, e = m.start(), m.end()
-                        if w in singles:
-                            rows.append((b, e, text[b:e], w))
-                        if w in multi_first:
-                            toks = [
-                                (t.group(0).lower(), t.start(), t.end())
-                                for t in islice(
-                                    _WORD_RE.finditer(text, b), max_len
-                                )
-                            ]
-                            win = (w,)
-                            for l in range(2, len(toks) + 1):
-                                win = win + (toks[l - 1][0],)
-                                if win not in prefixes:
-                                    break
-                                if win in surfs:
-                                    ge = toks[l - 1][2]
-                                    rows.append(
-                                        (b, ge, text[b:ge], " ".join(win))
-                                    )
-                    rows.sort(key=lambda r: (r[0], r[1]))
-                    for b, e, sf, ns in rows:
-                        out["url"].append(url)
-                        out["surface"].append(sf)
-                        out["norm_surface"].append(ns)
-                        out["begin"].append(b)
-                        out["end"].append(e)
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for b, e, sf, ns in scan_text(text):
+                    out["url"].append(url)
+                    out["surface"].append(sf)
+                    out["norm_surface"].append(ns)
+                    out["begin"].append(b)
+                    out["end"].append(e)
             yield pd.DataFrame(out, columns=list(out))
 
     return (

@@ -46,41 +46,21 @@ def reference_walk(urls, texts, trie):
 
 
 def fast_scan(urls, texts, trie):
-    """Drive the shipped kernel exactly as mapInPandas would."""
-    from itertools import islice
+    """Drive the SHIPPED kernel (kg.mentions._kernel) exactly as
+    mapInPandas would — the differential covers the real code path,
+    including the lowered-text fast path and its IGNORECASE fallback."""
+    from skosconverter_spark.kg.mentions import _kernel
 
-    hit_re = _hit_regex(trie)
-    singles = {t[0] for t in trie.surfaces if len(t) == 1}
-    multi_first = {t[0] for t in trie.surfaces if len(t) > 1}
+    scan_text = _kernel(trie)
     out = []
-    if hit_re is None:
-        return out
     for url, text in zip(urls, texts):
-        if not text:
-            continue
-        for m in hit_re.finditer(text):
-            w = m.group(0).lower()
-            b, e = m.start(), m.end()
-            if w in singles:
-                out.append((url, text[b:e], w, b, e))
-            if w in multi_first:
-                toks = [
-                    (t.group(0).lower(), t.start(), t.end())
-                    for t in islice(_WORD_RE.finditer(text, b), trie.max_len)
-                ]
-                win = (w,)
-                for l in range(2, len(toks) + 1):
-                    win = win + (toks[l - 1][0],)
-                    if win not in trie.prefixes:
-                        break
-                    if win in trie.surfaces:
-                        ge = toks[l - 1][2]
-                        out.append((url, text[b:ge], " ".join(win), b, ge))
+        for b, e, sf, ns in scan_text(text):
+            out.append((url, sf, ns, b, e))
     return sorted(out)
 
 
 TRIE = _Trie(
-    ["dog", "cat", "new", "new york", "new york city", "big apple", "d'or"]
+    ["dog", "cat", "new", "new york", "new york city", "big apple", "d'or", "sit"]
 )
 
 TRICKY_TEXTS = [
@@ -101,6 +81,14 @@ TRICKY_TEXTS = [
     "no vocabulary words at all here",
     "edge at end: new york",
     "edge start dog",
+    # exotic Unicode case folds: 'İ'.lower() is 2 chars -> the kernel's
+    # lowered-text fast path must fall back to the IGNORECASE scan and
+    # still find the mention
+    "İstanbul saw a DOG there; new york via İzmir",
+    # 'ſ' (long s) matches 's' under IGNORECASE but survives .lower()
+    # unchanged -> no 'sit' mention either way (probe-reject superset)
+    "ſit is not sit? but sit is; ſ alone",
+    "Kelvin Kog is not a dog hit; DOG is",
 ]
 
 
