@@ -205,3 +205,30 @@ def test_normalize_url_planted(spark):
     df = spark.createDataFrame(cases, "url string, want string")
     for r in normalize_urls(df).collect():
         assert r.norm_url == r.want, (r.url, r.norm_url, r.want)
+
+
+def test_run_kg_job_script(spark, tmp_path, capsys):
+    """examples/run_kg_job.py (the spark-submit entry point) runs the
+    full pipeline end-to-end from CLI args."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import run_kg_job
+
+    from skosconverter_spark.sources.pages import synthesize_pages
+    from tests.test_kg_pipeline import vocab_ttl
+
+    pages_dir = str(tmp_path / "pages")
+    synthesize_pages(spark, 40, partitions=2).write.parquet(pages_dir)
+    vocab_file = tmp_path / "vocab.ttl"
+    vocab_file.write_text(vocab_ttl(), encoding="utf-8")
+    rc = run_kg_job.main(
+        ["--pages", pages_dir, "--vocab", str(vocab_file),
+         "--out", str(tmp_path / "kg"), "--partitions", "2",
+         "--no-persist-intermediate"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "triples:" in out and "graph:" in out

@@ -7,9 +7,8 @@ is what executors actually import.
 
 Usage:  python tools/make_submit.py [out.zip]
 Submit: spark-submit --py-files skosconverter_spark.zip \
-            --master <cluster> your_job.py
-        (your_job.py imports skosconverter_spark and calls
-         kg.pipeline.run_pipeline / api.* — see README)
+            --master <cluster> examples/run_kg_job.py \
+            --pages <parquet> --vocab <ttl> --out <dir>
 """
 
 from __future__ import annotations
@@ -38,7 +37,8 @@ def main() -> None:
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "skosconverter_spark.zip"
     names = build(out)
     print(f"wrote {out} ({len(names)} files)")
-    print(f"spark-submit --py-files {out.name} --master <cluster> your_job.py")
+    print(f"spark-submit --py-files {out.name} --master <cluster> "
+          "examples/run_kg_job.py --pages <parquet> --vocab <ttl> --out <dir>")
 
 
 if __name__ == "__main__":
