@@ -763,7 +763,8 @@ def q_corpus_url_dedup(spark, sf_dir):
                                 F.lit("/?utm_source=x&b=2&a=1#frag")))
         .when(m == 1, F.concat(F.lit("https://example.org:443/p/"), i,
                                F.lit("?z=1&y=2")))
-        .when(m == 2, F.concat(F.lit("http://Example.com/a/"), i, F.lit("//")))
+        .when(m == 2, F.concat(F.lit("http://Example.com/a/"), i,
+                               F.lit("//#sec?noise=1")))
         .otherwise(F.concat(F.lit("sub.example.net/x/"), i, F.lit(" ")))
         .alias("url"),
     )
@@ -1031,7 +1032,34 @@ def q_lineitem_pricing(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate and consumed by the driver gate, which samples
+    # a prefix of this dict when it checks fewer than all entries. Queries
+    # with the LEAST driver-gate evidence come first: the 9 that had never
+    # had a driver CORRECTNESS row through r4, then the 10 that were green
+    # in r3 but not re-sampled by the r4 driver, then the long-green rest.
     return {
+        # -- never driver-checked through r4 --------------------------------
+        "corpus_c4_filter": q_corpus_c4_filter,
+        "corpus_domain_caps": q_corpus_domain_caps,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_url_dedup": q_corpus_url_dedup,
+        "dedup_incremental": q_dedup_incremental,
+        "events_cohorts": q_events_cohorts,
+        "events_funnel": q_events_funnel,
+        "events_rolling_hour": q_events_rolling_hour,
+        "events_topk_per_user": q_events_topk_per_user,
+        # -- r3-green, not re-sampled by the r4 driver ----------------------
+        "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
+        "lineitem_pricing": q_lineitem_pricing,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "events_json_extract": q_events_json_extract,
+        "events_cube": q_events_cube,
+        "graph_pagerank": q_graph_pagerank,
+        "events_percentiles": q_events_percentiles,
+        "events_running": q_events_running,
+        # -- driver-green in r4 ---------------------------------------------
         "skos_levels": q_skos_levels,
         "skos_closure": q_skos_closure,
         "skos_best_label": q_skos_best_label,
@@ -1082,25 +1110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "events_asof": q_events_asof,
         "events_sessions": q_events_sessions,
-        "events_range_join": q_events_range_join,
-        "events_rollup": q_events_rollup,
-        "lineitem_pricing": q_lineitem_pricing,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "events_json_extract": q_events_json_extract,
-        "events_cube": q_events_cube,
-        "graph_pagerank": q_graph_pagerank,
-        "events_percentiles": q_events_percentiles,
-        "events_running": q_events_running,
-        "dedup_incremental": q_dedup_incremental,
-        "corpus_line_dedup": q_corpus_line_dedup,
-        "corpus_domain_caps": q_corpus_domain_caps,
-        "corpus_c4_filter": q_corpus_c4_filter,
-        "corpus_url_dedup": q_corpus_url_dedup,
-        "events_topk_per_user": q_events_topk_per_user,
-        "events_rolling_hour": q_events_rolling_hour,
-        "events_funnel": q_events_funnel,
-        "events_cohorts": q_events_cohorts,
     }
 
 
@@ -2238,7 +2247,7 @@ WITH raw AS (
   SELECT doc_id, CASE doc_id % 4
     WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || doc_id || '/?utm_source=x&b=2&a=1#frag'
     WHEN 1 THEN 'https://example.org:443/p/' || doc_id || '?z=1&y=2'
-    WHEN 2 THEN 'http://Example.com/a/' || doc_id || '//'
+    WHEN 2 THEN 'http://Example.com/a/' || doc_id || '//#sec?noise=1'
     ELSE 'sub.example.net/x/' || doc_id || ' ' END AS url
   FROM documents
   UNION ALL
@@ -2257,7 +2266,7 @@ parts AS (
       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
       '/+$', '') AS path,
     list_sort(list_filter(
-      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
       p -> p != '' AND NOT starts_with(p, 'utm_')
            AND NOT starts_with(p, 'fbclid='))) AS params
   FROM raw

@@ -122,8 +122,13 @@ class IcebergCatalogAdapter:
     def write(self, df: DataFrame, base: Path, partition_by: tuple[str, ...] = ()) -> None:  # pragma: no cover
         self._require_iceberg(df.sparkSession)
         w = df.writeTo(self._table(base)).using("iceberg")
-        for c in partition_by:
-            w = w.partitionedBy(c)
+        if partition_by:
+            # one varargs call: DataFrameWriterV2.partitionedBy REPLACES the
+            # partitioning each call, so a per-column loop would keep only
+            # the last column of a multi-column spec
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*(F.col(c) for c in partition_by))
         w.createOrReplace()
 
     def read(self, spark: SparkSession, base: Path) -> DataFrame:  # pragma: no cover

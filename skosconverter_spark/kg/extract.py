@@ -162,9 +162,13 @@ def normalize_url(u) -> "F.Column":
         "/+$",
         "",
     )
+    # the query is matched ONLY in the pre-fragment substring: an
+    # unanchored \? would resurrect params out of SPA fragments like
+    # http://a/p#/view?tab=1, wrongly merging/splitting URLs ([^#]*?
+    # cannot cross the first '#', so the '?' must precede it)
     params = F.array_sort(
         F.filter(
-            F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&"),
+            F.split(F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1), "&"),
             lambda p: (p != "")
             & ~p.startswith("utm_")
             & ~p.startswith("fbclid="),

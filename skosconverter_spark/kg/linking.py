@@ -229,12 +229,51 @@ def score_candidates(
         .groupBy("concept_uri", "norm_surface")
         .agg(F.max("sj").alias("surface_jaccard"))
     )
-    with_jac = (
+    with_jac0 = (
         candidates.select(
             "url", "surface", "norm_surface", "begin", "end", "concept_uri"
         )
         .distinct()
-        .join(F.broadcast(jac_lookup), ["concept_uri", "norm_surface"])
+        .join(F.broadcast(jac_lookup), ["concept_uri", "norm_surface"], "left")
+    )
+    # LEFT join + computed fallback, not inner: under exact generation the
+    # lookup always hits (precondition above) and `missed` is a zero-row
+    # broadcast-joined stream, but a looser candidate generator must
+    # degrade to DISCOUNTING unmatched surfaces, never silently dropping
+    # them — missed rows get the true max-over-labels jaccard against the
+    # broadcast label table (0.0 for a concept with no labels at all).
+    hit = with_jac0.filter(F.col("surface_jaccard").isNotNull())
+    missed = with_jac0.filter(F.col("surface_jaccard").isNull()).drop(
+        "surface_jaccard"
+    )
+    f_tok = F.split(F.col("norm_surface"), " ")
+    l_tok = F.split(F.col("label_norm"), " ")
+    fallback_jac = (
+        F.size(F.array_intersect(f_tok, l_tok)).cast("double")
+        / F.size(F.array_union(f_tok, l_tok)).cast("double")
+    )
+    missed_scored = (
+        missed.join(
+            F.broadcast(
+                lt.select(
+                    "concept_uri", F.col("norm_surface").alias("label_norm")
+                )
+            ),
+            "concept_uri",
+            "left",
+        )
+        .withColumn("sj", F.when(F.col("label_norm").isNull(), F.lit(0.0)).otherwise(fallback_jac))
+        .groupBy("url", "surface", "norm_surface", "begin", "end", "concept_uri")
+        .agg(F.max("sj").alias("surface_jaccard"))
+    )
+    with_jac = hit.select(
+        "url", "surface", "norm_surface", "begin", "end", "concept_uri",
+        "surface_jaccard",
+    ).unionByName(
+        missed_scored.select(
+            "url", "surface", "norm_surface", "begin", "end", "concept_uri",
+            "surface_jaccard",
+        )
     )
     ctx = mention_context_scores(mentions, triples).withColumnRenamed(
         "uri", "concept_uri"

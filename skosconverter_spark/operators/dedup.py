@@ -33,6 +33,15 @@ N_BANDS = 4
 ROWS_PER_BAND = 3
 
 
+def _regex_quote(sep: str) -> str:
+    """Java-regex-literal quoting (Pattern.quote semantics) for separator
+    strings handed to F.split, which treats its pattern as a Java regex
+    while array_join treats the same string literally — an unquoted '.'
+    or '|' separator would split on every character and reassemble
+    garbage. \\Q...\\E with the standard embedded-\\E break-out."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def norm_tokens(col):
     return F.filter(
         F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " "),
@@ -86,19 +95,27 @@ def line_dedup(
     are exempt (they are structure, not content).
 
     Plan shape at scale: posexplode (one pass) → per-line winner as a
-    hash agg on the line key (uniform md5-sized keys, map-side partial)
-    → one equi-join back on the line → per-doc re-aggregation keyed by
-    doc_id. Two shuffles total, both on uniform keys; no windows, no
-    all-pairs anything."""
+    hash agg keyed on md5(line) — NEVER the raw text: on a
+    boilerplate-heavy crawl the same kilobyte nav-bar line recurs
+    millions of times, and a text-keyed agg/join would ship those bytes
+    through both shuffles; the 128-bit digest is uniform, fixed-width,
+    and collision-safe at corpus scale — → one equi-join back on the
+    digest (text rides only the exploded side, where reassembly needs
+    it anyway) → per-doc re-aggregation keyed by doc_id. Two shuffles
+    total, both on uniform keys; no windows, no all-pairs anything."""
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), _regex_quote(sep))).alias(
+            "pos", "line"
+        ),
     )
     # the winner is min over the (doc_id, pos) total order — a plain
     # min(struct) hash agg, valid for any orderable doc_id type
-    ranked = lines.withColumn("rank", F.struct("doc_id", "pos"))
-    winners = ranked.groupBy("line").agg(F.min("rank").alias("win_rank"))
-    kept = ranked.join(winners, "line").withColumn(
+    ranked = lines.withColumn("rank", F.struct("doc_id", "pos")).withColumn(
+        "line_key", F.md5("line")
+    )
+    winners = ranked.groupBy("line_key").agg(F.min("rank").alias("win_rank"))
+    kept = ranked.join(winners, "line_key").withColumn(
         "keep", (F.col("rank") == F.col("win_rank")) | (F.col("line") == "")
     )
     return (

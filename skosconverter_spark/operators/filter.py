@@ -281,6 +281,7 @@ def domain_caps(
     domain_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """(doc_id, <domain_col>, rank): at most ``cap`` documents per
     domain — the FineWeb-style anti-spam guard against one host
@@ -289,20 +290,35 @@ def domain_caps(
     so the surviving set is stable across runs, partitionings, and
     cluster sizes, and re-crawls keep the same winners.
 
-    Plan: one window ranked within the domain key — the shuffle is on
-    the domain, which is exactly the skewed key the operator exists to
-    cap; rows beyond the cap are filtered before any downstream stage
-    sees them. (The window sort is per-domain, bounded by that domain's
-    row count — for truly pathological hosts, cap the input first with
-    ``hash_sample`` on (domain||salt).)"""
+    Plan: salted two-level top-k — the skewed domain key NEVER carries
+    a whole domain through one task. Stage 1 ranks within (domain,
+    hash-bucket of the row key): a pathological host's rows spread over
+    ``n_buckets`` window partitions of ~|domain|/n_buckets rows each,
+    and each bucket keeps at most ``cap`` local candidates. Stage 2
+    re-ranks per domain over the surviving candidates only — bounded at
+    cap × n_buckets rows per domain by construction, regardless of how
+    big the host was. Exact: any row in a domain's true global top-cap
+    is beaten by < cap rows overall, hence by < cap rows inside its own
+    bucket, so it survives stage 1; and every row globally above it
+    also survives, so its stage-2 row_number equals its global rank.
+    (A naive single window partitioned by the domain is exactly the
+    skew this operator exists to defuse — AQE skew-join splitting does
+    not apply to windows.)"""
     if cap < 1:
         raise ValueError(f"domain_caps cap must be >= 1, got {cap}")
-    w = Window.partitionBy(domain_col).orderBy(
-        sample_key(F.col(key_col), salt), F.col(key_col)
+    order_cols = [sample_key(F.col(key_col), salt), F.col(key_col)]
+    bucketed = df.select(key_col, domain_col).withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
     )
+    w_local = Window.partitionBy(domain_col, "_bucket").orderBy(*order_cols)
+    candidates = (
+        bucketed.withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= cap)
+        .drop("_bucket", "_lrank")
+    )
+    w_global = Window.partitionBy(domain_col).orderBy(*order_cols)
     return (
-        df.select(key_col, domain_col)
-        .withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w_global))
         .filter(F.col("rank") <= cap)
     )
 

@@ -1,0 +1,189 @@
+"""Round-5 fixes, pinned.
+
+- domain_caps rebuilt as a salted two-level top-k: no window partition
+  ever carries a whole (possibly pathological) domain through one task.
+- line_dedup shuffles md5(line) keys, never raw line text, and quotes
+  the separator before handing it to F.split (Java regex).
+- normalize_url matches the query only in the pre-fragment substring
+  (SPA fragments like #/view?tab=1 must not resurrect params).
+- score_candidates degrades loose-generator candidates to a computed
+  max-over-labels jaccard discount instead of silently dropping them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# domain_caps: skew-safe exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _naive_domain_caps(df, cap, domain_col="source", key_col="doc_id"):
+    from skosconverter_spark.operators.filter import sample_key
+
+    w = Window.partitionBy(domain_col).orderBy(
+        sample_key(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.select(key_col, domain_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+    )
+
+
+def test_domain_caps_matches_naive_window(spark):
+    """Differential: the salted two-level plan is EXACT — identical rows
+    and ranks to the single-window definition, across several domains
+    and bucket counts (including n_buckets=1, the degenerate case)."""
+    from skosconverter_spark.operators.filter import domain_caps
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(5000)], "doc_id long, source string"
+    )
+    expected = {
+        (r.doc_id, r.source, r.rank)
+        for r in _naive_domain_caps(docs, 7).collect()
+    }
+    for nb in (1, 4, 64):
+        got = {
+            (r.doc_id, r.source, r.rank)
+            for r in domain_caps(docs, 7, n_buckets=nb).collect()
+        }
+        assert got == expected, f"n_buckets={nb}"
+
+
+def test_domain_caps_pathological_domain(spark):
+    """The VERDICT-prescribed planted skew case: one domain owning a
+    10^6-row corpus completes without any window partition holding the
+    whole domain — the first (stage-1) window partitions by the hash
+    bucket, visible in the plan, and survivors match the md5 lottery
+    computed independently in Python."""
+    from skosconverter_spark.operators.filter import domain_caps
+
+    n, cap = 1_000_000, 5
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("onehost.example").alias("source")
+    )
+    out = domain_caps(docs, cap, n_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket" in plan, "stage-1 window must partition by the salt bucket"
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    # independent oracle: the cap smallest (md5-hex8, doc_id) coordinates
+    expected = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest()[:8], i) for i in range(n)
+    )[:cap]
+    assert [r.doc_id for r in rows] == [i for _, i in expected]
+
+
+# ---------------------------------------------------------------------------
+# line_dedup: hashed shuffle key + regex-safe separator
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_metachar_separator(spark):
+    """'.' as separator must split literally, not as regex-any-char."""
+    from skosconverter_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [("a", "alpha.beta.alpha"), ("b", "beta.gamma")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in line_dedup(docs, sep=".").collect()
+    }
+    # 'alpha' survives at (a,0); 'beta' at (a,1); second 'alpha' in a and
+    # 'beta' in b are dropped; 'gamma' survives in b
+    assert got["a"] == ("alpha.beta", 2, 1)
+    assert got["b"] == ("gamma", 1, 1)
+
+
+def test_line_dedup_shuffles_digest_not_text(spark):
+    """The winner agg and join-back key on md5(line): the raw line text
+    must not be a grouping/join key anywhere in the plan."""
+    from skosconverter_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [("a", "x\ny"), ("b", "y\nz")], "doc_id string, text string"
+    )
+    out = line_dedup(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "line_key" in plan and "md5" in plan
+    # correctness unchanged by the keying
+    got = {r.doc_id: r.clean_text for r in out.collect()}
+    assert got == {"a": "x\ny", "b": "z"}
+
+
+def test_regex_quote_structure():
+    """Pattern.quote semantics: wrap in \\Q...\\E, break out embedded
+    \\E sequences (the one token \\Q cannot neutralize)."""
+    from skosconverter_spark.operators.dedup import _regex_quote
+
+    assert _regex_quote(".") == "\\Q.\\E"
+    assert _regex_quote("\n") == "\\Q\n\\E"
+    assert _regex_quote("a\\Eb") == "\\Qa\\E\\\\E\\Qb\\E"
+
+
+# ---------------------------------------------------------------------------
+# normalize_url: query only before the fragment
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_url_spa_fragment(spark):
+    from skosconverter_spark.kg.extract import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/p#/view?tab=1",),  # SPA route: no real query
+            ("http://a.com/p?x=1#f?y=2",),  # query, then ?' inside fragment
+            ("http://a.com/p?b=2&a=1#frag",),  # plain fragment after query
+        ],
+        "url string",
+    )
+    got = [r.n for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    assert got == [
+        "http://a.com/p",
+        "http://a.com/p?x=1",
+        "http://a.com/p?a=1&b=2",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# score_candidates: loose generators discount, never drop
+# ---------------------------------------------------------------------------
+
+
+def test_score_candidates_loose_generator_discounts(spark):
+    from skosconverter_spark.config import SKOS_PREF_LABEL
+    from skosconverter_spark.kg.linking import score_candidates
+
+    triples = spark.createDataFrame(
+        [("urn:c1", SKOS_PREF_LABEL, "Alpha Beta")], "subj string, pred string, obj string"
+    )
+    mentions = spark.createDataFrame([], "url string, norm_surface string")
+    candidates = spark.createDataFrame(
+        [
+            # exact dictionary hit: precomputed lookup path
+            ("u1", "Alpha Beta", "alpha beta", 0, 10, "urn:c1", "pref"),
+            # loose generator: surface is NOT a label of c1 — must be
+            # scored with jaccard({alpha},{alpha,beta}) = 0.5, not dropped
+            ("u1", "Alpha", "alpha", 20, 25, "urn:c1", "loose"),
+        ],
+        "url string, surface string, norm_surface string, begin int, "
+        "end int, concept_uri string, kind string",
+    )
+    got = {
+        (r.norm_surface): r.score
+        for r in score_candidates(
+            candidates, mentions, triples, threshold=0.01
+        ).collect()
+    }
+    # empty mentions → context_tfidf coalesces to 0 → score = 0.5 * jaccard
+    assert got["alpha beta"] == 0.5
+    assert got["alpha"] == 0.25
