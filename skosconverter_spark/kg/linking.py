@@ -229,51 +229,41 @@ def score_candidates(
         .groupBy("concept_uri", "norm_surface")
         .agg(F.max("sj").alias("surface_jaccard"))
     )
-    with_jac0 = (
+    # LEFT join + coalesce fallback, not inner: under exact generation the
+    # lookup always hits (precondition above), but a looser candidate
+    # generator must degrade to DISCOUNTING unmatched surfaces, never
+    # silently dropping them. The fallback is the true max-over-labels
+    # jaccard, computed row-local against a broadcast per-concept array of
+    # label token lists (0.0 for a concept with no labels at all). One
+    # linear pass — no branch/union (which would reference the candidate
+    # subtree twice and re-run its upstream), no extra shuffle; coalesce
+    # evaluates the fallback lazily, so the exact-generation hot path pays
+    # only a broadcast hash probe. The transform lambda captures only the
+    # mention's own token split (short string, cheap per label) — not an
+    # expensive array expression (the HOF re-evaluation pitfall).
+    labels_arr = lt.groupBy("concept_uri").agg(
+        F.collect_list(F.split("norm_surface", " ")).alias("label_toks")
+    )
+    f_tok = F.split(F.col("norm_surface"), " ")
+    fallback_jac = F.array_max(
+        F.transform(
+            F.col("label_toks"),
+            lambda t: F.size(F.array_intersect(f_tok, t)).cast("double")
+            / F.size(F.array_union(f_tok, t)).cast("double"),
+        )
+    )
+    with_jac = (
         candidates.select(
             "url", "surface", "norm_surface", "begin", "end", "concept_uri"
         )
         .distinct()
         .join(F.broadcast(jac_lookup), ["concept_uri", "norm_surface"], "left")
-    )
-    # LEFT join + computed fallback, not inner: under exact generation the
-    # lookup always hits (precondition above) and `missed` is a zero-row
-    # broadcast-joined stream, but a looser candidate generator must
-    # degrade to DISCOUNTING unmatched surfaces, never silently dropping
-    # them — missed rows get the true max-over-labels jaccard against the
-    # broadcast label table (0.0 for a concept with no labels at all).
-    hit = with_jac0.filter(F.col("surface_jaccard").isNotNull())
-    missed = with_jac0.filter(F.col("surface_jaccard").isNull()).drop(
-        "surface_jaccard"
-    )
-    f_tok = F.split(F.col("norm_surface"), " ")
-    l_tok = F.split(F.col("label_norm"), " ")
-    fallback_jac = (
-        F.size(F.array_intersect(f_tok, l_tok)).cast("double")
-        / F.size(F.array_union(f_tok, l_tok)).cast("double")
-    )
-    missed_scored = (
-        missed.join(
-            F.broadcast(
-                lt.select(
-                    "concept_uri", F.col("norm_surface").alias("label_norm")
-                )
-            ),
-            "concept_uri",
-            "left",
-        )
-        .withColumn("sj", F.when(F.col("label_norm").isNull(), F.lit(0.0)).otherwise(fallback_jac))
-        .groupBy("url", "surface", "norm_surface", "begin", "end", "concept_uri")
-        .agg(F.max("sj").alias("surface_jaccard"))
-    )
-    with_jac = hit.select(
-        "url", "surface", "norm_surface", "begin", "end", "concept_uri",
-        "surface_jaccard",
-    ).unionByName(
-        missed_scored.select(
-            "url", "surface", "norm_surface", "begin", "end", "concept_uri",
+        .join(F.broadcast(labels_arr), "concept_uri", "left")
+        .withColumn(
             "surface_jaccard",
+            F.coalesce(F.col("surface_jaccard"), fallback_jac, F.lit(0.0)),
         )
+        .drop("label_toks")
     )
     ctx = mention_context_scores(mentions, triples).withColumnRenamed(
         "uri", "concept_uri"
