@@ -95,23 +95,19 @@ def type_drift(scols, sdtypes, ocols, otypes):
     ]
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import os
-
+def run_checks(spark, sf_dir: str, only=None, verbose: bool = True) -> list[str]:
+    """Run the gate replica over queries()/oracle_sql(); return the list
+    of failing query names. Reused by the CLI below and by the
+    full-surface parity pytest (tests/test_surface_parity.py), so
+    "local replica green for the whole registered surface" is asserted
+    by the suite each round rather than run by hand."""
     import __spark_entry__ as e
-    from skosconverter_spark.session import get_spark
 
-    # overridable so determinism can be probed at adversarial
-    # parallelism (e.g. SPARK_ORACLE_MASTER=local[4]
-    # SPARK_ORACLE_PARTS=17): every oracle-checked result must be
-    # identical under any partitioning
-    spark = get_spark(
-        master=os.environ.get("SPARK_ORACLE_MASTER", "local[8]"),
-        shuffle_partitions=int(os.environ.get("SPARK_ORACLE_PARTS", "8")),
-    )
+    def say(msg):
+        if verbose:
+            print(msg)
+
+    only = set(only) if only else None
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -130,11 +126,11 @@ def main():
             sdtypes = [t for _, t in sdf.dtypes]
             srows, scols_sorted = df_to_rows(scols, [tuple(r) for r in srows_raw])
         except Exception as exc:
-            print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
+            say(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows={len(srows)} (rows-only, no oracle)")
+            say(f"ok   {name}: rows={len(srows)} (rows-only, no oracle)")
             continue
         try:
             res = con.sql(oracles[name])
@@ -142,29 +138,48 @@ def main():
             otypes = res.types
             orows, ocols_sorted = df_to_rows(ocols, res.fetchall())
         except Exception as exc:
-            print(f"FAIL {name}: oracle error {type(exc).__name__}: {exc}")
+            say(f"FAIL {name}: oracle error {type(exc).__name__}: {exc}")
             failures.append(name)
             continue
         if scols_sorted != ocols_sorted:
-            print(f"FAIL {name}: columns {scols_sorted} vs {ocols_sorted}")
+            say(f"FAIL {name}: columns {scols_sorted} vs {ocols_sorted}")
             failures.append(name)
             continue
         drift = type_drift(scols, sdtypes, ocols, otypes)
         if drift:
-            print(f"FAIL {name}: type drift (spark vs duckdb): {drift}")
+            say(f"FAIL {name}: type drift (spark vs duckdb): {drift}")
             failures.append(name)
             continue
         if len(srows) != len(orows):
-            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            say(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
             failures.append(name)
             continue
         if srows != orows:
             diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
-            print(f"FAIL {name}: values differ; first diffs: {diff}")
+            say(f"FAIL {name}: values differ; first diffs: {diff}")
             failures.append(name)
             continue
-        print(f"ok   {name}: rows={len(srows)} values match")
+        say(f"ok   {name}: rows={len(srows)} values match")
+    return failures
 
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import os
+
+    from skosconverter_spark.session import get_spark
+
+    # overridable so determinism can be probed at adversarial
+    # parallelism (e.g. SPARK_ORACLE_MASTER=local[4]
+    # SPARK_ORACLE_PARTS=17): every oracle-checked result must be
+    # identical under any partitioning
+    spark = get_spark(
+        master=os.environ.get("SPARK_ORACLE_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("SPARK_ORACLE_PARTS", "8")),
+    )
+    failures = run_checks(spark, sf_dir, only=only, verbose=True)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
     spark.stop()
     sys.exit(1 if failures else 0)
