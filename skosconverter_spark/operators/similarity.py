@@ -386,10 +386,14 @@ def srp_candidates(
     replicates ONE join side (r+1)×; one-sided probing suffices because
     a 1-bit band difference between x and y is repaired by flipping that
     bit on either side.
-    Only 0 and 1 flips are supported (flip-2 replication is r² and the
-    s-curve gets too flat to verify cheaply)."""
-    if probe_flips not in (0, 1):
-        raise ValueError(f"probe_flips must be 0 or 1, got {probe_flips}")
+    ``probe_flips=2`` additionally visits the C(r,2) buckets at Hamming
+    distance 2 (replication 1 + r + r(r−1)/2, one-sided for the same
+    repair argument) — the lever that makes LONG bands (r ≥ 12, a much
+    steeper s-curve than r=8) usable at loose thresholds: per-band
+    collision becomes p^r + r·p^(r−1)q + C(r,2)·p^(r−2)q², which decays
+    fast for random pairs (p≈0.5) while staying high for similar ones."""
+    if probe_flips not in (0, 1, 2):
+        raise ValueError(f"probe_flips must be 0, 1 or 2, got {probe_flips}")
     r = bits // bands
     sig = srp_signature(vectors, bits, dim, id_col, vec_col)
     band_structs = [
@@ -405,16 +409,27 @@ def srp_candidates(
         .localCheckpoint(eager=True)
     )
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    if probe_flips == 1:
+    if probe_flips >= 1:
         flip = lambda c: F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
-        variants = [F.col("bucket")] + [
-            F.concat(
-                F.substring("bucket", 1, i),
-                flip(F.substring("bucket", i + 1, 1)),
-                F.substring("bucket", i + 2, r - i - 1),
-            )
-            for i in range(r)
-        ]
+
+        def flipped(positions):
+            # one concat over the bucket with the given 0-based bit
+            # positions inverted (positions sorted ascending)
+            parts, prev = [], 0
+            for p in positions:
+                if p > prev:
+                    parts.append(F.substring("bucket", prev + 1, p - prev))
+                parts.append(flip(F.substring("bucket", p + 1, 1)))
+                prev = p + 1
+            if prev < r:
+                parts.append(F.substring("bucket", prev + 1, r - prev))
+            return F.concat(*parts)
+
+        variants = [F.col("bucket")] + [flipped([i]) for i in range(r)]
+        if probe_flips == 2:
+            variants += [
+                flipped([i, j]) for i in range(r) for j in range(i + 1, r)
+            ]
         a = band_rows.select(
             F.col(id_col).alias("id_a"),
             "band",
@@ -449,11 +464,15 @@ def embedding_neardup_srp(
 
     Measured on the synthetic sf0.001 corpus at τ=0.35 (recall vs the
     exact all-pairs verifier; cost = candidate fraction of n²/2):
-    default 16×4 flips=0 → recall 0.54 @ 24%; the production gate is
-    bits=96, bands=12, probe_flips=1 → recall 0.81 @ 36% (pinned in
-    tests/test_round3_fixes.py). At this loose a τ, random pairs agree
-    per bit with p≈0.5, so ~1/3 candidate fraction is near the floor;
-    tighter thresholds (τ≥0.8, real near-dup) prune far harder."""
+    default 16×4 flips=0 → recall 0.54 @ 24%; bits=96, bands=12,
+    probe_flips=1 → recall 0.81 @ 36% (pinned in
+    tests/test_round3_fixes.py); the high-recall gate is bits=288,
+    bands=24, probe_flips=2 (r=12 long bands + 2-bit probing) →
+    recall 0.93 @ 39% (pinned in tests/test_round5_fixes.py) at the
+    price of 79× one-sided probe replication. At this loose a τ, random
+    pairs agree per bit with p≈0.5, so ~1/3 candidate fraction is near
+    the floor; tighter thresholds (τ≥0.8, real near-dup) prune far
+    harder."""
     candidates = srp_candidates(
         vectors, bits, bands, dim, id_col, vec_col, probe_flips
     )

@@ -246,7 +246,7 @@ def test_srp_multiprobe_recall_gate(spark):
         f"candidates {cand1}/{all_pairs} ({cand1 / all_pairs:.1%})"
     )
     with pytest.raises(ValueError):
-        srp_candidates(e, probe_flips=2)
+        srp_candidates(e, probe_flips=3)
 
 
 # --------------------------------------------------------------------------

@@ -155,6 +155,45 @@ def test_normalize_url_spa_fragment(spark):
 
 
 # ---------------------------------------------------------------------------
+# SRP-LSH flips=2: the recall>=0.9 operating point
+# ---------------------------------------------------------------------------
+
+
+def test_srp_flips2_operating_point(spark):
+    """2-bit multi-probe over LONG bands (r=12) reaches the operating
+    point 1-bit probing could not: measured on this corpus at τ=0.35,
+    288×24 flips=2 gives recall 0.934 at 39% candidate fraction (the r4
+    high-water mark was 0.81 @ 36% with 96×12 flips=1). Long bands keep
+    the per-band s-curve steep (random pairs collide at p^12-ish rates);
+    the C(r,2) probe replication buys back the recall the steepness
+    costs. Pinned loosely (≥0.9 recall, ≤0.45 candidates) so hyperplane
+    tweaks don't flake the suite."""
+    from skosconverter_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_srp,
+        srp_candidates,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(e, 0.35).collect()}
+    srp2 = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_srp(
+            e, 0.35, bits=288, bands=24, probe_flips=2
+        ).collect()
+    }
+    assert srp2 <= exact  # verified candidates only
+    recall = len(srp2) / len(exact)
+    cand = srp_candidates(e, bits=288, bands=24, probe_flips=2).count()
+    frac = cand / (n * (n - 1) // 2)
+    assert recall >= 0.9, f"flips=2 recall {recall:.3f} < 0.9"
+    assert frac <= 0.45, f"candidate fraction {frac:.3f} > 0.45"
+
+
+# ---------------------------------------------------------------------------
 # SnapshotCatalogAdapter: Iceberg commit protocol, exercised for real
 # ---------------------------------------------------------------------------
 
