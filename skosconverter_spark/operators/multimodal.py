@@ -67,9 +67,31 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pil():
+    """Soft pillow import: the image decode path activates when the lib
+    exists, and degrades to the loud stub when it doesn't — never a
+    silent fake on a caller who asked for real decode."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_media(payload: bytes, kind: str):
-    """The real-decoder seam. Codec libraries (PIL/ffmpeg/soundfile) are
-    not available in this environment; decode is intentionally stubbed."""
+    """The real-decoder seam. Image payloads decode through pillow WHEN
+    it is installed (returns (width, height, mode, rgb_bytes)); audio/
+    video codecs (ffmpeg/soundfile) are never present here, and without
+    pillow images raise too — a user with real media gets a loud
+    failure, not silently fake features."""
+    Image = _pil()
+    if kind == "image" and Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            rgb = im.convert("RGB")
+            return rgb.width, rgb.height, "RGB", rgb.tobytes()
     raise NotImplementedError(
         f"decoding {kind!r} payloads requires media codecs not present "
         "in this environment; use fake_features for the plumbing path"
@@ -88,17 +110,19 @@ def fake_features(payload: bytes, dims: int = 8) -> list[float]:
 
 def featurize(media: DataFrame, dims: int = 8, use_real_decode: bool = False) -> DataFrame:
     """(media_id, kind, n_bytes, features array<double>): the Arrow-batched
-    feature-extraction stage. ``use_real_decode=True`` routes through the
-    stubbed decoder (raises — by design)."""
+    feature-extraction stage. ``use_real_decode=True`` decodes through
+    ``decode_media`` and featurizes the decoded PIXELS (pillow images
+    when the lib exists; everything else raises — by design)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, sizes = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload) if payload is not None else b""
+                src = raw
                 if use_real_decode:
-                    decode_media(raw, kind)
-                feats.append(fake_features(raw, dims))
+                    _, _, _, src = decode_media(raw, kind)
+                feats.append(fake_features(src, dims))
                 sizes.append(len(raw))
             yield pd.DataFrame(
                 {
@@ -171,9 +195,28 @@ def fake_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
     return sampled + b"\x00" * (target - len(sampled))
 
 
-def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+def real_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """pillow-backed resizer: decode, RGB-convert, resize, raw bytes out
+    (out_w × out_h × 3). Raises via decode_media when pillow is absent."""
+    import io
+
+    Image = _pil()
+    if Image is None:
+        decode_media(payload, "image")  # raises the disclosed stub error
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.convert("RGB").resize((out_w, out_h)).tobytes()
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    use_real_decode: bool = False,
+) -> DataFrame:
     """(media_id, width, height, thumbnail binary): image-kind payloads
-    resized to a fixed thumbnail — the bounded-output transform stage."""
+    resized to a fixed thumbnail — the bounded-output transform stage.
+    ``use_real_decode=True`` routes through the pillow resizer."""
+    resizer = real_resize if use_real_decode else fake_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,7 +225,7 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                 if payload is None:
                     continue
                 ids.append(mid)
-                thumbs.append(fake_resize(bytes(payload), out_w, out_h))
+                thumbs.append(resizer(bytes(payload), out_w, out_h))
             yield pd.DataFrame(
                 {"media_id": ids, "width": out_w, "height": out_h,
                  "thumbnail": thumbs}
