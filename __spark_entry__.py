@@ -230,6 +230,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_dedup_corpus(spark, sf_dir), 0.8)
 
 
+def q_dedup_ngram_prefix(spark, sf_dir):
+    """Prefix-filtered EXACT jaccard join (SSJoin/PPJoin rule): lossless
+    by construction, so it shares the all-pairs oracle verbatim."""
+    from skosconverter_spark.operators.dedup import ngram_jaccard_prefix
+
+    return ngram_jaccard_prefix(_dedup_corpus(spark, sf_dir), 0.8)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from skosconverter_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1039,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r3 but not re-sampled by the r4 driver, then the long-green rest.
     return {
         # -- never driver-checked through r4 --------------------------------
+        "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "corpus_c4_filter": q_corpus_c4_filter,
         "corpus_domain_caps": q_corpus_domain_caps,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -2507,6 +2516,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_links": _kg_links_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": "WITH " + _JACCARD_PAIRS_SQL.format(tau=0.8),
+        # lossless prefix filtering == the exact all-pairs answer
+        "dedup_ngram_prefix": "WITH " + _JACCARD_PAIRS_SQL.format(tau=0.8),
         "dedup_minhash_lsh": _minhash_sql(0.8),
         "dedup_simhash": _simhash_sql(),
         "corpus_prepare": _corpus_prepare_sql(),

@@ -225,6 +225,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): EXACT jaccard similarity join via prefix
+    filtering (the SSJoin/PPJoin candidate rule, Chaudhuri et al. 2006 /
+    Xiao et al. 2008) — same output as ``ngram_jaccard_pairs``, but the
+    candidate self-join touches only each document's PREFIX: its
+    |A| − ceil(τ·|A|) + 1 globally rarest shingles.
+
+    Why it is lossless: J(A,B) ≥ τ forces |A∩B| ≥ ceil(τ·|A|). Order
+    all shingles by one global total order (df asc, shingle asc). Let
+    x* be the smallest member of A∩B in that order. If x* sat outside
+    A's prefix, every intersection token would (positions only grow),
+    leaving |A∩B| ≤ ceil(τ|A|) − 1 — contradiction; symmetrically for
+    B. So every qualifying pair collides on x* within both prefixes,
+    and the exact verification over candidates loses nothing.
+
+    Why it scales where the inverted-index join cannot: the self-join
+    cost is Σ df_prefix² over PREFIX occurrences only — rarest-first
+    ordering sends precisely the high-df shingles (the Σ df² explosion
+    in ``ngram_jaccard_pairs``) out of the prefix. Stages: shingle
+    explode, df hash agg, one doc-keyed window (bounded by a document's
+    own shingle count, never corpus-sized), the rare-key candidate
+    join, and a candidate-restricted exact verify. This is the exact
+    scale path; minhash stays the approximate one."""
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"prefix filtering needs 0 < threshold <= 1, got {threshold}"
+        )
+    sh = doc_shingles(docs, text_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pref.withColumnRenamed("doc_id", "doc_a")
+        .join(pref.withColumnRenamed("doc_id", "doc_b"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", k: int = N_MINHASH
 ) -> DataFrame:

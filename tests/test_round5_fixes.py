@@ -155,6 +155,42 @@ def test_normalize_url_spa_fragment(spark):
 
 
 # ---------------------------------------------------------------------------
+# ngram_jaccard_prefix: exact similarity join, prefix-filtered
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_prefix_matches_all_pairs(spark):
+    """Prefix filtering is LOSSLESS: identical pairs and jaccard values
+    to the inverted-index exact join, at several thresholds — while the
+    candidate join touches only prefix occurrences (a strict subset of
+    the shingle table whenever τ prunes anything)."""
+    import pytest
+
+    from skosconverter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    for tau in (0.5, 0.8):
+        exact = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, tau).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_prefix(docs, tau).collect()
+        }
+        assert pref == exact, f"tau={tau}"
+    with pytest.raises(ValueError):
+        ngram_jaccard_prefix(docs, 0.0)  # τ=0 has no prefix bound
+
+
+# ---------------------------------------------------------------------------
 # SRP-LSH flips=2: the recall>=0.9 operating point
 # ---------------------------------------------------------------------------
 
