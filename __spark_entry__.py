@@ -405,6 +405,14 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style corpus-trained bigram LM quality scores (neg mean
+    log-likelihood per document, add-0.5 smoothing)."""
+    from skosconverter_spark.functions.text import lm_bigram_scores
+
+    return lm_bigram_scores(_docs(spark, sf_dir))
+
+
 def q_corpus_quality_filter(spark, sf_dir):
     from skosconverter_spark.operators.filter import quality_flags
 
@@ -1048,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked through r4 --------------------------------
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
+        "text_lm_score": q_text_lm_score,
         "corpus_c4_filter": q_corpus_c4_filter,
         "corpus_domain_caps": q_corpus_domain_caps,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -1711,6 +1720,34 @@ r AS (
   FROM scored
 )
 SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5
+"""
+
+_TEXT_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x != '') AS ls
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ls[i] AS prev, ls[i + 1] AS cur
+  FROM toks CROSS JOIN UNNEST(range(1, len(ls))) AS r(i)
+),
+cb AS (SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+cp AS (SELECT prev, count(*) AS c_prev FROM bg GROUP BY 1),
+vc AS (SELECT count(DISTINCT term) AS v
+       FROM (SELECT unnest(ls) AS term FROM toks)),
+lp AS (
+  SELECT bg.doc_id,
+         CAST(round(ln((c_bg + CAST(0.5 AS DOUBLE))
+                       / (c_prev + CAST(0.5 AS DOUBLE) * v)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM bg JOIN cb USING (prev, cur) JOIN cp USING (prev) CROSS JOIN vc
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-(sum(lp))::DOUBLE / count(*), 6) AS nll
+FROM lp GROUP BY doc_id
 """
 
 _TEXT_WINNOW_SQL = r"""
@@ -2532,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_sql(),
         "text_winnow": _TEXT_WINNOW_SQL,
         "text_tfidf": _TEXT_TFIDF_SQL,
+        "text_lm_score": _TEXT_LM_SCORE_SQL,
         "corpus_quality_filter": _QUALITY_FILTER_SQL,
         "corpus_hash_sample": _HASH_SAMPLE_SQL,
         "corpus_stratified_sample": _STRATIFIED_SAMPLE_SQL,

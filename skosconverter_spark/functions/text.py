@@ -157,6 +157,75 @@ def tfidf_top_terms(
     )
 
 
+def lm_bigram_scores(
+    df: DataFrame, text_col: str = "text", k_smooth: float = 0.5
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll): corpus-trained bigram language-model
+    quality scores — the CCNet-style LM filter (Wenzek et al. 2020): fit
+    add-k-smoothed bigram probabilities on the corpus itself, then score
+    each document by its negative mean log-likelihood. High nll = the
+    document's word transitions are unlike the corpus (gibberish, boiler-
+    plate soup, wrong language) — the standard triage axis next to the
+    Gopher rules.
+
+    Determinism/parity discipline: p(cur|prev) = (c(prev,cur)+k) /
+    (c(prev)+k·V) with every operand forced to double (DuckDB would
+    otherwise run the arithmetic in DECIMAL); ln rounded to 6 places
+    and carried as DECIMAL(18,6) so the per-document sum is exact and
+    order-free (the house rule for distributed float aggregation); one
+    final double division, rounded.
+
+    Plan shape at scale: one token explode, two hash-agg count tables,
+    two 1:1 equi-joins back onto the bigram rows (build sides unique
+    per key — same shape as the tf-idf join), a broadcast one-row
+    vocabulary scalar, and a doc-keyed aggregation. No windows, no
+    python."""
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS_NORM, " ")),
+            " ",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select("doc_id", toks.alias("toks"))
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda p, q: F.struct(p.alias("prev"), q.alias("cur")),
+    )
+    rows = base.select("doc_id", F.explode(bg).alias("b")).select(
+        "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    cb = rows.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
+    cp = rows.groupBy("prev").agg(F.count("*").alias("c_prev"))
+    vocab = base.select(F.explode("toks").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    k = F.lit(float(k_smooth))
+    logp = F.round(
+        F.log(
+            (F.col("c_bg") + k) / (F.col("c_prev") + k * F.col("v"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        rows.join(cb, ["prev", "cur"])
+        .join(cp, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", logp)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("nll"),
+        )
+    )
+
+
 def ngram_topk(
     df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

@@ -288,6 +288,33 @@ def test_snapshot_catalog_time_travel_and_orphans(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# lm_bigram_scores: corpus-trained LM quality triage
+# ---------------------------------------------------------------------------
+
+
+def test_lm_scores_rank_gibberish_above_template(spark):
+    """Documents made of corpus-typical transitions score low nll; a
+    document whose transitions appear nowhere else scores high. Scores
+    are partition-independent (decimal-carried sums)."""
+    from skosconverter_spark.functions.text import lm_bigram_scores
+
+    template = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, template) for i in range(20)]
+        + [(100, "zq xv qk jw vz kx wj qz vx kq")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.nll) for r in lm_bigram_scores(docs).collect()}
+    assert got[0][0] == 8  # 9 tokens -> 8 bigrams
+    assert got[100][1] > got[0][1], "unique transitions must score worse"
+    again = {
+        r.doc_id: (r.n_bigrams, r.nll)
+        for r in lm_bigram_scores(docs.repartition(7)).collect()
+    }
+    assert again == got
+
+
+# ---------------------------------------------------------------------------
 # multimodal: real decode behind a soft pillow import
 # ---------------------------------------------------------------------------
 
