@@ -941,6 +941,23 @@ def q_events_cohorts(spark, sf_dir):
     )
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the co-purchase graph (parts
+    connected when some order contains both) — degree-ordered wedge
+    enumeration, pure integer counting."""
+    from skosconverter_spark.operators.graph import triangle_counts
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") != F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
 def q_events_percentiles(spark, sf_dir):
     """Exact (interpolated) per-group order statistics — Spark's
     percentile() and DuckDB's quantile_cont() share the linear-
@@ -1057,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked through r4 --------------------------------
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "text_lm_score": q_text_lm_score,
+        "graph_triangles": q_graph_triangles,
         "corpus_c4_filter": q_corpus_c4_filter,
         "corpus_domain_caps": q_corpus_domain_caps,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -2443,6 +2461,26 @@ FROM w JOIN f USING (user_id)
 GROUP BY 1, 2
 """
 
+_GRAPH_TRIANGLES_SQL = r"""
+WITH e AS (
+  SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                  greatest(l1.l_partkey, l2.l_partkey) AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey != l2.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY node
+"""
+
 _EVENTS_PERCENTILES_SQL = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -2596,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": _EVENTS_JSON_SQL,
         "events_cube": _EVENTS_CUBE_SQL,
         "graph_pagerank": _pagerank_sql(),
+        "graph_triangles": _GRAPH_TRIANGLES_SQL,
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_running": _EVENTS_RUNNING_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,

@@ -88,3 +88,70 @@ def pagerank(
             .localCheckpoint(eager=True)  # cut the loop lineage before reuse
         )
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, n_triangles) for every node in ≥1 triangle — the classic
+    clustering/community-density statistic over a materialized graph
+    table.
+
+    Degree-ordered edge orientation (the MapReduce triangle algorithm of
+    Suri & Vassilvitskii 2011): each undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, so wedges are only
+    enumerated AT their lowest-degree vertex. A hub of degree d that
+    would naively generate d²/2 wedges generates almost none — its
+    edges all point INTO it — which bounds the wedge stage by
+    Σ min-degree² instead of Σ degree²; the skew-defusing move that
+    makes triangle counting feasible on power-law graphs. Every
+    triangle is emitted exactly once (at its min-(degree,id) vertex),
+    pure integer counting — no float parity concerns.
+
+    Plan: dedup/canonicalize edges (one shuffle), degree hash agg, two
+    1:1 joins to attach degrees, the oriented wedge self-join, a
+    semi-join against the canonical edge set to close each wedge, one
+    explode + hash agg for per-node counts."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    lo = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    hi = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    o = ed.select(
+        F.when(lo < hi, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo < hi, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=True)
+    wedges = (
+        o.select(F.col("u"), F.col("v").alias("v1"))
+        .join(o.select(F.col("u"), F.col("v").alias("v2")), "u")
+        .filter(F.col("v1") < F.col("v2"))
+    )
+    tri = wedges.join(
+        e,
+        (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
+        "left_semi",
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -288,6 +288,29 @@ def test_snapshot_catalog_time_travel_and_orphans(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# triangle_counts: degree-ordered wedge enumeration
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_planted(spark):
+    """K4 (every node in C(3,2)=3 triangles) plus a pendant edge and a
+    triangle-free path; duplicate/reversed/self-loop edges must not
+    change counts."""
+    from skosconverter_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4), (5, 6), (6, 7)]  # pendant + path
+    noisy = edges + [(b, a) for a, b in edges] + [(0, 1), (2, 2)]
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(noisy, "src long, dst long")
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # pendant/path nodes absent
+
+
+# ---------------------------------------------------------------------------
 # lm_bigram_scores: corpus-trained LM quality triage
 # ---------------------------------------------------------------------------
 
