@@ -941,6 +941,30 @@ def q_events_cohorts(spark, sf_dir):
     )
 
 
+def q_kg_extract_links(spark, sf_dir):
+    """Outbound-link extraction over synthesized crawl html (each doc
+    links a site page, an external page, and repeats one in-domain
+    link) — the link-graph construction pass."""
+    from skosconverter_spark.kg.extract import extract_links
+
+    d = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, 20).alias("head"))
+    i = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(F.lit("http://crawl.test/"), i).alias("url"),
+        F.concat(
+            F.lit('<html><body><p>'), F.col("head"),
+            F.lit('</p><a href="http://crawl.test/'), (F.col("doc_id") % 50).cast("string"),
+            F.lit('?x=1">page '), (F.col("doc_id") % 7).cast("string"),
+            F.lit('</a> <a class="ext" href="https://other.org/'),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit('">Other Site</a><a href="http://crawl.test/'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('?x=1">again</a></body></html>'),
+        ).alias("html"),
+    )
+    return extract_links(pages)
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle counts over the co-purchase graph (parts
     connected when some order contains both) — degree-ordered wedge
@@ -1075,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "text_lm_score": q_text_lm_score,
         "graph_triangles": q_graph_triangles,
+        "kg_extract_links": q_kg_extract_links,
         "corpus_c4_filter": q_corpus_c4_filter,
         "corpus_domain_caps": q_corpus_domain_caps,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -2461,6 +2486,28 @@ FROM w JOIN f USING (user_id)
 GROUP BY 1, 2
 """
 
+_KG_EXTRACT_LINKS_SQL = r"""
+WITH h AS (
+  SELECT 'http://crawl.test/' || doc_id AS url,
+         '<html><body><p>' || substring(text, 1, 20)
+         || '</p><a href="http://crawl.test/' || (doc_id % 50)
+         || '?x=1">page ' || (doc_id % 7)
+         || '</a> <a class="ext" href="https://other.org/' || (doc_id % 11)
+         || '">Other Site</a><a href="http://crawl.test/' || (doc_id % 50)
+         || '?x=1">again</a></body></html>' AS html
+  FROM documents
+),
+l AS (
+  SELECT url,
+         regexp_extract_all(html, '<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) AS hrefs,
+         regexp_extract_all(html, '<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2) AS anchors
+  FROM h
+)
+SELECT url AS src_url, CAST(i - 1 AS INT) AS pos,
+       hrefs[i] AS href, anchors[i] AS anchor
+FROM l CROSS JOIN UNNEST(range(1, len(hrefs) + 1)) AS r(i)
+"""
+
 _GRAPH_TRIANGLES_SQL = r"""
 WITH e AS (
   SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
@@ -2635,6 +2682,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": _EVENTS_CUBE_SQL,
         "graph_pagerank": _pagerank_sql(),
         "graph_triangles": _GRAPH_TRIANGLES_SQL,
+        "kg_extract_links": _KG_EXTRACT_LINKS_SQL,
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_running": _EVENTS_RUNNING_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,

@@ -185,3 +185,35 @@ def normalize_url(u) -> "F.Column":
 def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """df + ``norm_url`` column (see normalize_url)."""
     return df.withColumn("norm_url", normalize_url(F.col(url_col)))
+
+
+_LINK_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(src_url, pos, href, anchor): outbound links per page — the crawl
+    link-graph construction pass (feeds ``operators.graph.pagerank`` /
+    ``triangle_counts`` and anchor-text mention mining).
+
+    Pure JVM regexp work: two regexp_extract_all passes over the same
+    compiled pattern (href group, anchor group — the engines cache the
+    pattern per expression), zipped positionally; the page html never
+    leaves the scan's codegen stage and nothing shuffles until the
+    caller aggregates. Same double-quoted-href subset the reference's
+    markdown link syntax round-trips through; single-quoted/unquoted
+    attrs are a documented non-goal of the synthetic-page contract."""
+    pat = F.lit(_LINK_RE)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(F.col(html_col), pat, 1).alias("href"),
+        F.regexp_extract_all(F.col(html_col), pat, 2).alias("anchor"),
+    )
+    return df.select(
+        F.col(url_col).alias("src_url"), F.posexplode(pairs).alias("pos", "l")
+    ).select(
+        "src_url",
+        "pos",
+        F.col("l.href").alias("href"),
+        F.col("l.anchor").alias("anchor"),
+    )

@@ -288,6 +288,36 @@ def test_snapshot_catalog_time_travel_and_orphans(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# extract_links: crawl link-graph construction
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_positions_and_edge_cases(spark):
+    from skosconverter_spark.kg.extract import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                '<a href="http://a/1">one</a><p>x</p>'
+                '<a class="c" id="z" href="http://a/2">two words</a>',
+            ),
+            ("u2", "<html><body>no links at all</body></html>"),
+            ("u3", None),
+        ],
+        "url string, html string",
+    )
+    got = [
+        (r.src_url, r.pos, r.href, r.anchor)
+        for r in extract_links(pages).orderBy("src_url", "pos").collect()
+    ]
+    assert got == [
+        ("u1", 0, "http://a/1", "one"),
+        ("u1", 1, "http://a/2", "two words"),
+    ]  # no-link and null-html pages contribute nothing
+
+
+# ---------------------------------------------------------------------------
 # triangle_counts: degree-ordered wedge enumeration
 # ---------------------------------------------------------------------------
 
