@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -285,6 +286,77 @@ def test_snapshot_catalog_time_travel_and_orphans(spark, tmp_path):
     fresh = SnapshotCatalogAdapter()
     assert fresh.committed_fingerprint(base) == fp2
     assert fresh.read(spark, base).count() == 25, "orphan must be invisible"
+
+
+# ---------------------------------------------------------------------------
+# property tests: independent Python brute-force oracles
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str) -> set[str]:
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+                 min_size=3, max_size=12).map(" ".join),
+        min_size=4, max_size=10,
+    )
+)
+def test_prop_prefix_jaccard_vs_python_bruteforce(spark, texts):
+    """ngram_jaccard_prefix vs an independent pure-Python all-pairs
+    computation over a tiny high-collision alphabet (every doc shares
+    shingles with most others — the prefix filter's worst case)."""
+    from skosconverter_spark.operators.dedup import ngram_jaccard_prefix
+
+    tau = 0.4
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_prefix(docs, tau).collect()
+    }
+    sh = {i: _py_shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= tau:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.sets(st.tuples(st.integers(0, 8), st.integers(0, 8)), max_size=20))
+def test_prop_triangles_vs_python_bruteforce(spark, raw_edges):
+    from itertools import combinations
+
+    from skosconverter_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    und = {frozenset(e) for e in edges}
+    nodes = {n for e in und for n in e}
+    want = {}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if {frozenset((x, y)), frozenset((x, z)), frozenset((y, z))} <= und:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == want
 
 
 # ---------------------------------------------------------------------------
