@@ -238,6 +238,16 @@ def q_dedup_ngram_prefix(spark, sf_dir):
     return ngram_jaccard_prefix(_dedup_corpus(spark, sf_dir), 0.8)
 
 
+def q_dedup_shared_passages(spark, sf_dir):
+    """Verbatim-passage containment over the planted-duplicates corpus:
+    exact copies share every window, '...the end' perturbations all but
+    the tail, originals own their windows (n_shared = 0 up to cross-doc
+    text collisions)."""
+    from skosconverter_spark.operators.dedup import shared_passages
+
+    return shared_passages(_dedup_corpus(spark, sf_dir), w=8)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from skosconverter_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1100,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "graph_triangles": q_graph_triangles,
         "kg_extract_links": q_kg_extract_links,
+        "dedup_shared_passages": q_dedup_shared_passages,
         "corpus_c4_filter": q_corpus_c4_filter,
         "corpus_domain_caps": q_corpus_domain_caps,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -1316,6 +1327,19 @@ sh AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
   FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)
 )
+"""
+
+_SHARED_PASSAGES_SQL = f"""
+WITH {_DEDUP_CORPUS_SQL.strip().rstrip()},
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM corpus),
+g AS (
+  SELECT doc_id, array_to_string(ts[i : i + 7], ' ') AS gram
+  FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)
+),
+o AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY 1)
+SELECT doc_id, count(*) AS n_windows,
+       CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+FROM g JOIN o USING (gram) GROUP BY doc_id
 """
 
 _JACCARD_PAIRS_SQL = f"""
@@ -2683,6 +2707,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(),
         "graph_triangles": _GRAPH_TRIANGLES_SQL,
         "kg_extract_links": _KG_EXTRACT_LINKS_SQL,
+        "dedup_shared_passages": _SHARED_PASSAGES_SQL,
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_running": _EVENTS_RUNNING_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,

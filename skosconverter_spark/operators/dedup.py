@@ -299,6 +299,39 @@ def ngram_jaccard_prefix(
     )
 
 
+def shared_passages(
+    docs: DataFrame, text_col: str = "text", w: int = 8
+) -> DataFrame:
+    """(doc_id, n_windows, n_shared): verbatim-passage containment
+    triage — how many of a document's ``w``-token windows already occur
+    in an EARLIER document (min doc_id owns a window). The cheap exact
+    cousin of suffix-array substring dedup (Lee et al. 2022): a page
+    quoting a long passage verbatim from elsewhere scores high n_shared
+    even when its overall shingle jaccard is low, which is exactly the
+    containment case minhash-style whole-doc similarity misses.
+
+    Plan: one window explode, the winner as a min(doc_id) hash agg on
+    md5(window) — fixed-width uniform shuffle keys, never the window
+    text (same discipline as line_dedup) — one join back on the digest,
+    one doc-keyed aggregation. No windows over skewed keys, no pairs
+    anywhere: cost is linear in total window occurrences."""
+    g = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), w)).alias("g")
+    )
+    h = g.select("doc_id", F.md5(F.encode(F.col("g"), "utf-8")).alias("h"))
+    owner = h.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    return (
+        h.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(
+                F.when(F.col("owner") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", k: int = N_MINHASH
 ) -> DataFrame:

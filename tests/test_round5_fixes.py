@@ -289,6 +289,37 @@ def test_snapshot_catalog_time_travel_and_orphans(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# shared_passages: verbatim containment triage
+# ---------------------------------------------------------------------------
+
+
+def test_shared_passages_containment(spark):
+    """A later doc quoting an earlier passage verbatim scores n_shared
+    for exactly the quoted windows; the owner (min doc_id) scores 0
+    even when the same window recurs later; unrelated text scores 0."""
+    from skosconverter_spark.operators.dedup import shared_passages
+
+    passage = "w1 w2 w3 w4 w5"  # 5 tokens -> 3 windows at w=3
+    docs = spark.createDataFrame(
+        [
+            (1, passage),
+            (2, "x1 x2 " + passage),  # contains every passage window
+            (3, "y1 y2 y3 y4 y5"),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_shared)
+        for r in shared_passages(docs, w=3).collect()
+    }
+    assert got[1] == (3, 0)  # owner of the passage
+    # doc 2: 7 tokens -> 5 windows; the 3 pure-passage windows are owned
+    # by doc 1, the 2 bridge windows (x2 w1 w2 etc.) are its own
+    assert got[2] == (5, 3)
+    assert got[3] == (3, 0)
+
+
+# ---------------------------------------------------------------------------
 # property tests: independent Python brute-force oracles
 # ---------------------------------------------------------------------------
 
