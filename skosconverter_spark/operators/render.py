@@ -67,12 +67,17 @@ def guard_driver_sized(df: DataFrame, what: str, max_rows: int = MAX_DRIVER_ROWS
 
 def collect_triples(triples: DataFrame, max_rows: int = MAX_DRIVER_ROWS) -> list[tuple]:
     guard_driver_sized(triples, "collect_triples", max_rows)
-    return [
-        (r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang, r.seq)
-        for r in triples.select(
-            "subj", "pred", "obj", "obj_is_literal", "obj_lang", "seq"
-        ).collect()
-    ]
+    # Arrow transfer instead of .collect(): the row path deserializes one
+    # pickled Row per triple and pays a __getattr__ field lookup per
+    # column (measured ~2 s of the 3 s skos_forward collect at 177k
+    # triples); the Arrow path moves six columnar batches and converts
+    # each column once.
+    tbl = triples.select(
+        "subj", "pred", "obj", "obj_is_literal", "obj_lang", "seq"
+    ).toArrow()
+    return list(
+        zip(*(tbl.column(i).to_pylist() for i in range(tbl.num_columns)))
+    )
 
 
 def render_text_local(triples: DataFrame, fmt: str, config: EngineConfig) -> str:

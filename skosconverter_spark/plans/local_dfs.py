@@ -73,15 +73,29 @@ def dfs_rows_local(triple_rows, config: EngineConfig) -> list[dict]:
         lang_ranks.setdefault(fb, r)
         r += 1
 
+    # memoized: the DFS calls best_label inside every child-sort
+    # comparator and for every parent-label emit — O(n log n) calls for
+    # n concepts (66k calls at 22k concepts, measured) — while the value
+    # per uri never changes within one run.
+    _bl_cache: dict[str, str] = {}
+
     def best_label(uri: str) -> str:
+        got = _bl_cache.get(uri)
+        if got is not None:
+            return got
+        out = None
         for pred in (SKOS_PREF_LABEL, SKOS_ALT_LABEL, RDFS_LABEL):
             labels = by_sp.get((uri, pred))
             if labels:
-                return min(
+                out = min(
                     enumerate(labels),
                     key=lambda e: (lang_ranks.get(e[1][1], 99), e[0]),
                 )[1][0]
-        return _local_part(uri)
+                break
+        if out is None:
+            out = _local_part(uri)
+        _bl_cache[uri] = out
+        return out
 
     def meta(uri: str) -> dict:
         defs = by_sp.get((uri, SKOS_DEFINITION)) or by_sp.get((uri, SKOS_SCOPE_NOTE))

@@ -33,6 +33,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor defaults to 1m, which collapses small-byte
+        # but CPU-dense shuffle stages (k×md5 minhash signatures over short
+        # docs: 29 s of task CPU squeezed onto 10 of 32 cores — measured
+        # r6) down to a handful of tasks. A 64k floor lets such stages keep
+        # core-count parallelism; at production data volumes partitions are
+        # far above either floor, so the setting is inert there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -104,4 +104,9 @@ def synthesize_vocab(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # the 11-branch union multiplies spark.range's parallelism into ~11×
+    # cores partitions of a few hundred rows each; driver-side consumers
+    # (collect_triples, localCheckpoint) then pay task dispatch 11× over.
+    # coalesce (narrow, no shuffle) folds the branches back to one task
+    # per core.
+    return out.coalesce(spark.sparkContext.defaultParallelism)
