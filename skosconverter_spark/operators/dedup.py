@@ -49,8 +49,9 @@ def norm_tokens(col):
     )
 
 
-def shingles(col, n: int = 3):
-    """Word n-gram shingle array (empty when fewer than n tokens).
+def shingles_of_tokens(toks, n: int = 3):
+    """Word n-gram shingle array from an ALREADY-MATERIALIZED token
+    array column (empty when fewer than n tokens).
 
     Built as a zip_with over n shifted slices, NOT a transform indexing
     the token array: a lambda that captures the tokenization expression
@@ -58,14 +59,27 @@ def shingles(col, n: int = 3):
     order functions are interpreted, no subexpression elimination), which
     made shingling O(tokens × n) full-text scans per row — the dominant
     cost of the whole minhash pipeline. Slices evaluate their argument
-    once per ROW; the zip_with lambdas touch only bound element vars."""
-    toks = norm_tokens(col)
+    once per ROW; the zip_with lambdas touch only bound element vars.
+
+    Callers should pass a bound ATTRIBUTE for ``toks`` (tokenize in a
+    separate projection across a materialization boundary): this
+    expression references its input n+2 times (n slices + 2 size
+    guards), and when the reference is the raw tokenization expression
+    the interpreted-HOF pipeline re-runs lower+regexp+split per
+    reference — measured at ~1.7 ms/doc of task CPU in the r6 shingle
+    stage, w-gram passages paying w+2 re-evaluations."""
     m = F.size(toks) - (n - 1)
     parts = [F.slice(toks, k + 1, F.greatest(m, F.lit(0))) for k in range(n)]
     arr = parts[0]
     for p in parts[1:]:
         arr = F.zip_with(arr, p, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(m >= 1, arr).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingle array straight from a text column — see
+    shingles_of_tokens for the cheap two-step form used on hot paths."""
+    return shingles_of_tokens(norm_tokens(col), n)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -161,10 +175,33 @@ def incremental_new_docs(
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct — the inverted-index input."""
+    """(doc_id, shingle) distinct — the inverted-index input.
+
+    Two deliberate plan moves (guide §2.3/§2.4, both measured r6):
+
+    - tokenization happens in its own projection BEFORE the exchange, so
+      the n+2 references inside the shingle expression hit a bound
+      attribute instead of re-running the interpreted tokenizer per
+      reference (see shingles_of_tokens), and the shuffle carries one
+      token array per doc rather than n exploded shingle rows;
+    - the exchange hash-partitions BY doc_id, which satisfies the
+      clustered distribution of the dedup aggregation AND of every
+      downstream doc-keyed consumer — the k×md5 minhash signature
+      groupBy, the prefix-filter row_number window, the verify-stage
+      collect_set — so none of them shuffles again. Before this the
+      signature stage's partial aggregation alone shipped 134 MB of hex
+      partials (docs × partitions × k rows: round-robin input put every
+      doc in every partition)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.select(
+        "doc_id", norm_tokens(F.col(text_col)).alias("_toks")
+    )
     return (
-        docs.select("doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+        toks.repartition(par, "doc_id")
+        .select(
+            "doc_id", F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("shingle")
+        )
+        .dropDuplicates()
     )
 
 
@@ -314,9 +351,20 @@ def shared_passages(
     md5(window) — fixed-width uniform shuffle keys, never the window
     text (same discipline as line_dedup) — one join back on the digest,
     one doc-keyed aggregation. No windows over skewed keys, no pairs
-    anywhere: cost is linear in total window occurrences."""
-    g = docs.select(
-        "doc_id", F.explode(shingles(F.col(text_col), w)).alias("g")
+    anywhere: cost is linear in total window occurrences.
+
+    Tokenization is a separate projection across the doc_id exchange so
+    the w-gram expression's w+2 input references hit a bound attribute
+    (the interpreted tokenizer otherwise re-runs per reference — see
+    shingles_of_tokens) and the shuffle moves one token array per doc,
+    not w-gram rows."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    g = (
+        docs.select("doc_id", norm_tokens(F.col(text_col)).alias("_toks"))
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id", F.explode(shingles_of_tokens(F.col("_toks"), w)).alias("g")
+        )
     )
     h = g.select("doc_id", F.md5(F.encode(F.col("g"), "utf-8")).alias("h"))
     owner = h.groupBy("h").agg(F.min("doc_id").alias("owner"))
