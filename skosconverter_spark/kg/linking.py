@@ -121,7 +121,9 @@ def tfidf_context_scores(pages_text: DataFrame, triples: DataFrame) -> DataFrame
     )
 
 
-def mention_context_scores(mentions: DataFrame, triples: DataFrame) -> DataFrame:
+def mention_context_scores(
+    mentions: DataFrame, triples: DataFrame, label_tbl: DataFrame | None = None
+) -> DataFrame:
     """(url, uri, context_tfidf): cosine between the page's MENTION
     vector and the concept's surface set, with IDF over pages.
 
@@ -142,7 +144,10 @@ def mention_context_scores(mentions: DataFrame, triples: DataFrame) -> DataFrame
     # would re-scan the mentions table once per pipeline run just to
     # fetch one integer
     np_df = mentions.agg(F.countDistinct("url").alias("n_pages"))
-    df_s = tf.groupBy("norm_surface").agg(F.countDistinct("url").alias("df"))
+    # (url, norm_surface) is tf's grouping key, so rows are unique per
+    # pair and count(*) ≡ countDistinct(url) — without the extra
+    # expand/two-phase distinct aggregation countDistinct plans
+    df_s = tf.groupBy("norm_surface").agg(F.count("*").alias("df"))
     w = (
         tf.join(F.broadcast(df_s), "norm_surface")
         .crossJoin(F.broadcast(np_df))
@@ -158,7 +163,8 @@ def mention_context_scores(mentions: DataFrame, triples: DataFrame) -> DataFrame
     page_norm = w.groupBy("url").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("page_norm")
     )
-    prof = label_table(triples).select("uri", "norm_surface").distinct()
+    lt_src = label_tbl if label_tbl is not None else label_table(triples)
+    prof = lt_src.select("uri", "norm_surface").distinct()
     prof_norm = prof.groupBy("uri").agg(
         F.sqrt(F.count("*").cast("double")).alias("prof_norm")
     )
@@ -189,6 +195,7 @@ def score_candidates(
     mentions: DataFrame,
     triples: DataFrame,
     threshold: float = 0.25,
+    label_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """candidates (url, surface, norm_surface, begin, end, concept_uri,
     kind) → scored links above threshold.
@@ -211,7 +218,8 @@ def score_candidates(
     """
     from skosconverter_spark.kg.mentions import label_table
 
-    lt = label_table(triples).select(
+    lt_src = label_tbl if label_tbl is not None else label_table(triples)
+    lt = lt_src.select(
         F.col("uri").alias("concept_uri"), "norm_surface"
     ).distinct()
     m_tok = F.split(F.col("norm_surface"), " ")
@@ -265,7 +273,7 @@ def score_candidates(
         )
         .drop("label_toks")
     )
-    ctx = mention_context_scores(mentions, triples).withColumnRenamed(
+    ctx = mention_context_scores(mentions, triples, label_tbl=lt_src).withColumnRenamed(
         "uri", "concept_uri"
     )
     scored = (

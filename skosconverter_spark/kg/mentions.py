@@ -171,8 +171,17 @@ def _kernel(trie: "_Trie"):
     return scan_text
 
 
-def scan_mentions(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
+def scan_mentions(
+    pages_text: DataFrame, triples: DataFrame, label_tbl: DataFrame | None = None
+) -> DataFrame:
     """pages(url, text) × broadcast vocabulary → mention rows.
+
+    ``label_tbl`` — a precomputed (optionally checkpointed) label_table
+    of ``triples``: the pipeline computes it once and shares it between
+    the scanner, the candidate join and the scorer, instead of each
+    consumer re-running the filter+regexp+distinct aggregation and its
+    broadcast build (three vocab-sized shuffle+broadcast jobs on the
+    r6-measured critical path).
 
     begin/end are character offsets of the surface in the original text.
 
@@ -192,9 +201,10 @@ def scan_mentions(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
     5.0 s (object-dtype .str.* are Python-level maps — a trap), this
     alternation scan 1.3 s with byte-identical output."""
     spark = pages_text.sparkSession
+    lt = label_tbl if label_tbl is not None else label_table(triples)
     surfaces = [
         r.norm_surface
-        for r in label_table(triples).select("norm_surface").distinct().collect()
+        for r in lt.select("norm_surface").distinct().collect()
         if r.norm_surface
     ]
     trie_bc = spark.sparkContext.broadcast(_Trie(surfaces))
@@ -218,10 +228,14 @@ def scan_mentions(pages_text: DataFrame, triples: DataFrame) -> DataFrame:
     )
 
 
-def mention_candidates(mentions: DataFrame, triples: DataFrame) -> DataFrame:
+def mention_candidates(
+    mentions: DataFrame, triples: DataFrame, label_tbl: DataFrame | None = None
+) -> DataFrame:
     """Equi-join mentions to candidate concepts on the normalized surface
-    (broadcast hash join — vocab side is small)."""
-    lt = label_table(triples).select("norm_surface", "uri", "kind").distinct()
+    (broadcast hash join — vocab side is small). ``label_tbl``: optional
+    precomputed label_table (see scan_mentions)."""
+    lt_src = label_tbl if label_tbl is not None else label_table(triples)
+    lt = lt_src.select("norm_surface", "uri", "kind").distinct()
     return mentions.join(F.broadcast(lt), "norm_surface").select(
         "url", "surface", "norm_surface", "begin", "end",
         F.col("uri").alias("concept_uri"), "kind",

@@ -216,8 +216,18 @@ def run_pipeline(
     parts = partitions or spark.sparkContext.defaultParallelism
     runner = StageRunner(spark, root, config, force=force, codec=codec)
 
-    fp_pages = fingerprint_of(pages, ["url"])
-    fp_vocab = fingerprint_of(vocab_triples, ["subj", "pred", "obj"])
+    # the two input fingerprints are independent single-row aggregations;
+    # submit them concurrently so the second is not a serial round on the
+    # pipeline's critical path
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2) as _fp_pool:
+        _f_pages = _fp_pool.submit(fingerprint_of, pages, ["url"])
+        _f_vocab = _fp_pool.submit(
+            fingerprint_of, vocab_triples, ["subj", "pred", "obj"]
+        )
+        fp_pages = _f_pages.result()
+        fp_vocab = _f_vocab.result()
 
     # checkpoint pruning: no downstream stage re-reads the raw html —
     # `text` IS the extraction product and html is reproducible from the
@@ -229,18 +239,28 @@ def run_pipeline(
         lambda: salted_repartition(extract_text(pages), parts).drop("html"),
     )
 
+    # the vocabulary's label table is consumed by three stages (mention
+    # scanner surfaces, candidate join, scorer profile); compute its
+    # distinct aggregation once and share the vocab-sized result instead
+    # of re-running the shuffle+broadcast build per consumer
+    from skosconverter_spark.kg.mentions import label_table
+
+    lt = label_table(vocab_triples).localCheckpoint(eager=True)
+
     # stage DAG: mentions and page-triples only depend on extract — submit
     # them concurrently (SparkSession job submission is thread-safe; the
     # scheduler interleaves their tasks, so the cluster never idles while
     # one stage's tail tasks drain)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    graph_base = Path(root) / "60_graph"
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_mentions = pool.submit(
             runner.run_stage,
             "20_mentions",
             f"{fp_pages}|{fp_vocab}",
-            lambda: scan_mentions(pages_text, vocab_triples),
+            lambda: scan_mentions(pages_text, vocab_triples, label_tbl=lt),
             persist_intermediate,
         )
         f_page_triples = pool.submit(
@@ -259,40 +279,62 @@ def run_pipeline(
             ),
             persist_intermediate,
         )
+
+        # downstream chains as dependency-submitted futures rather than a
+        # second barrier pool: 30_links starts the moment 20_mentions is
+        # done (not at max(20, 40)), 50_canonical the moment
+        # 40_page_triples is, and the 60_graph sink overlaps the links
+        # stage instead of running after everything (r6: the graph write +
+        # read-back was ~1 s of serial tail under a 5 s links stage).
+        def _links_chain():
+            # one url-keyed exchange up front makes the whole scoring DAG
+            # downstream exchange-free: hashpartitioning(url) satisfies
+            # the clustered distribution of every aggregation and join in
+            # score_candidates / mention_context_scores / link_best
+            # (their keys all have url as a prefix — candidate distinct,
+            # tf, page_norm, dots, the ctx join, the span-winner agg), so
+            # Catalyst plans them back-to-back in one stage instead of
+            # the r6-measured chain of seven small shuffles that made
+            # 30_links the pipeline's critical path (5.6 s of 12.4 s;
+            # plan: 46 → 31 exchanges).
+            mentions_by_url = f_mentions.result().repartition(parts, "url")
+            return runner.run_stage(
+                "30_links",
+                f"{fp_pages}|{fp_vocab}|t={link_threshold}",
+                lambda: link_best(
+                    score_candidates(
+                        mention_candidates(
+                            mentions_by_url, vocab_triples, label_tbl=lt
+                        ),
+                        mentions_by_url,
+                        vocab_triples,
+                        threshold=link_threshold,
+                        label_tbl=lt,
+                    )
+                ),
+            )
+
+        def _canonical_graph_chain():
+            triples_ = runner.run_stage(
+                "50_canonical",
+                f"{fp_pages}|{fp_vocab}",
+                lambda: canonicalize_triples(
+                    f_page_triples.result().unionByName(vocab_triples),
+                    config.max_iterations,
+                ),
+            )
+            # final graph table: pred-partitioned so triple-pattern scans
+            # prune (committed through the catalog adapter like every
+            # stage; on Iceberg this is a partitioned+bucketed table spec)
+            runner.catalog.write(triples_, graph_base, partition_by=("pred",))
+            return triples_, runner.catalog.read(spark, graph_base)
+
+        f_links = pool.submit(_links_chain)
+        f_cg = pool.submit(_canonical_graph_chain)
         mentions = f_mentions.result()
         page_triples = f_page_triples.result()
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_links = pool.submit(
-            runner.run_stage,
-            "30_links",
-            f"{fp_pages}|{fp_vocab}|t={link_threshold}",
-            lambda: link_best(
-                score_candidates(
-                    mention_candidates(mentions, vocab_triples),
-                    mentions,
-                    vocab_triples,
-                    threshold=link_threshold,
-                )
-            ),
-        )
-        f_triples = pool.submit(
-            runner.run_stage,
-            "50_canonical",
-            f"{fp_pages}|{fp_vocab}",
-            lambda: canonicalize_triples(
-                page_triples.unionByName(vocab_triples), config.max_iterations
-            ),
-        )
         links = f_links.result()
-        triples = f_triples.result()
-
-    # final graph table: pred-partitioned so triple-pattern scans prune
-    # (committed through the catalog adapter like every stage; on Iceberg
-    # this is a partitioned+bucketed table spec)
-    graph_base = Path(root) / "60_graph"
-    runner.catalog.write(triples, graph_base, partition_by=("pred",))
-    graph = runner.catalog.read(spark, graph_base)
+        triples, graph = f_cg.result()
 
     return {
         "pages_text": pages_text,
