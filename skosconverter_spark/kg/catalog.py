@@ -72,7 +72,10 @@ class ParquetCatalogAdapter:
         import pyarrow.parquet as pq
 
         out = []
-        for f in sorted((base / "data").glob("part-*.parquet")):
+        # rglob, not glob: a partitioned write (partition_by=...) lands
+        # files under key=value/ subdirectories, which a flat glob
+        # silently reports as zero files
+        for f in sorted((base / "data").rglob("part-*.parquet")):
             out.append(
                 (int(f.name.split("-")[1]), pq.ParquetFile(f).metadata.num_rows)
             )
@@ -163,10 +166,17 @@ class SnapshotCatalogAdapter:
         w.parquet(str(snap))
         import pyarrow.parquet as pq
 
+        # rglob, not glob: partitioned writes land part files under
+        # key=value/ subdirectories; a flat glob recorded an empty
+        # manifest for them (lineage silently reported zero files)
         manifest = [
             [f.name, pq.ParquetFile(f).metadata.num_rows]
-            for f in sorted(snap.glob("part-*.parquet"))
+            for f in sorted(snap.rglob("part-*.parquet"))
         ]
+        if partition_by and not manifest:
+            raise RuntimeError(
+                f"partitioned write at {snap} produced no part files"
+            )
         md = self._meta_dir(base)
         md.mkdir(parents=True, exist_ok=True)
         (md / f"v{v}.json").write_text(
@@ -184,6 +194,18 @@ class SnapshotCatalogAdapter:
 
     def _resolve(self, base: Path, snapshot_id: int | None) -> int:
         if snapshot_id is not None:
+            # time travel is over COMMITTED snapshots: an explicit id
+            # beyond the committed hint is either this instance's own
+            # in-flight write (visible to its writer) or a crash orphan,
+            # which must stay invisible
+            committed = self._current_version(base)
+            if snapshot_id != self._inflight.get(str(base)) and (
+                committed is None or snapshot_id > committed
+            ):
+                raise ValueError(
+                    f"snapshot {snapshot_id} at {base} is not committed "
+                    f"(current version: {committed})"
+                )
             return snapshot_id
         v = self._inflight.get(str(base), self._current_version(base))
         if v is None:
@@ -207,7 +229,13 @@ class SnapshotCatalogAdapter:
     def commit(
         self, base: Path, stage: str, input_fingerprint: str, rows: int, wall_ms: int
     ) -> None:
-        v = self._versions(base)[-1]
+        # commit THIS instance's in-flight snapshot, not whatever
+        # metadata file is newest on disk — two adapters interleaving
+        # write() on one table would otherwise commit each other's
+        # snapshot under the wrong fingerprint
+        v = self._inflight.get(str(base), None)
+        if v is None:
+            v = self._versions(base)[-1]
         meta_path = self._meta_dir(base) / f"v{v}.json"
         meta = json.loads(meta_path.read_text())
         meta["summary"] = {

@@ -298,13 +298,20 @@ def ngram_jaccard_prefix(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # the prefix bound's ceiling is computed in EXACT decimal arithmetic
+    # (decimal × bigint is exact in Spark): double arithmetic rounds
+    # ceil(τ·|A|) up past the true ceiling for many (τ, |A|) combos
+    # (e.g. 0.405·600 → 244 instead of 243), silently shortening the
+    # prefix of an operator documented as lossless. repr() keeps the
+    # exact double the caller passed.
+    tau_exact = F.lit(repr(float(threshold))).cast("decimal(20,18)")
     pref = (
         sh.join(dfreq, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "doc_id")
         .filter(
             F.col("pos")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+            <= F.col("n_sh") - F.ceil(tau_exact * F.col("n_sh")) + 1
         )
         .select("doc_id", "shingle")
     )

@@ -5,7 +5,8 @@ runs the SAME gate replica (tools/oracle_check.run_checks — row count,
 column names, coarse types, order-insensitive values vs DuckDB) over
 EVERY registered query at sf0.01, so "local replica green for the whole
 surface" holds round over round without a manual run. Slowest test in
-the suite by design — it is 69 Spark queries + 69 DuckDB queries.
+the suite by design — one Spark query + one DuckDB query per registry
+entry (len(queries()) of each; no hardcoded count that can drift).
 """
 
 from __future__ import annotations
