@@ -22,12 +22,27 @@ from skosconverter_spark.config import EngineConfig
 from skosconverter_spark.tpch_bridge import ORACLE_CHAIN_CTE, triples_from_tpch
 
 
+def _fan_out(spark, df):
+    """Scale-adaptive scan parallelism (guide §2/§6): the local corpus
+    tables are single-row-group parquet files, so every scan plans as
+    ONE task and any CPU-dense pass downstream of it (per-token md5
+    votes, Arrow kernels, pair cosines — embedding_neardup measured 43 s
+    on one core) serializes until the first shuffle. Fan the tiny scan
+    out to the session's parallelism once; a real multi-file corpus
+    already carries at least that many scan partitions and this is a
+    no-op with no shuffle added."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -198,7 +213,9 @@ def q_skos_val_depths(spark, sf_dir):
 
 def _dedup_corpus(spark, sf_dir):
     """documents ∪ exact copies (+2e6 ids) ∪ perturbed copies (+1e6 ids)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # raw read (not _docs): the fan-out happens once AFTER the 3-branch
+    # union, not per branch
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     exact = d.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
     near = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -363,15 +380,29 @@ def q_kg_links(spark, sf_dir):
     offsets collapse out because score is a function of (url, surface,
     uri), which is what makes the stage oracle-expressible."""
     from skosconverter_spark.kg.linking import link_best, score_candidates
-    from skosconverter_spark.kg.mentions import mention_candidates, scan_mentions
+    from skosconverter_spark.kg.mentions import (
+        label_table,
+        mention_candidates,
+        scan_mentions,
+    )
 
     pages = _docs(spark, sf_dir).select(
         F.concat(F.lit("doc:"), F.col("doc_id")).alias("url"), "text"
     )
     triples = _kg_vocab_triples(spark)
-    mentions = scan_mentions(pages, triples).localCheckpoint(eager=True)
-    cands = mention_candidates(mentions, triples)
-    best = link_best(score_candidates(cands, mentions, triples, threshold=0.25))
+    # same plan moves as the KG pipeline's 30_links (r6): share one
+    # label-table build across scanner/candidates/scorer, and partition
+    # mentions by url once so the whole scoring DAG (all keys are
+    # url-prefixed, including this query's final aggregation) plans
+    # exchange-free behind it
+    lt = label_table(triples).localCheckpoint(eager=True)
+    mentions = scan_mentions(pages, triples, label_tbl=lt).localCheckpoint(
+        eager=True
+    ).repartition(spark.sparkContext.defaultParallelism, "url")
+    cands = mention_candidates(mentions, triples, label_tbl=lt)
+    best = link_best(
+        score_candidates(cands, mentions, triples, threshold=0.25, label_tbl=lt)
+    )
     return best.groupBy("url", "norm_surface", "concept_uri").agg(
         F.count("*").alias("n_mentions"),
         F.round(F.min("score"), 6).alias("score"),
