@@ -99,8 +99,8 @@ def test_unrolled_dot_bit_identical_to_fold(spark):
             out = joined.select(
                 "vec_id",
                 "qid",
-                S.dot(F.col("embedding"), F.col("qv")).alias("dot"),
-                S.norm(F.col("embedding")).alias("nrm"),
+                S.dot_fast(F.col("embedding"), F.col("qv")).alias("dot"),
+                S.norm_fast(F.col("embedding")).alias("nrm"),
             ).collect()
         finally:
             S.DIM_HINT = old
@@ -116,7 +116,7 @@ def test_dot_guard_falls_back_for_other_dims(spark):
         [(1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
         "id long, a array<double>, b array<double>",
     )
-    got = df.select(S.dot(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    got = df.select(S.dot_fast(F.col("a"), F.col("b")).alias("d")).collect()[0].d
     assert got == ((0.0 + 1.0 * 4.0) + 2.0 * 5.0) + 3.0 * 6.0
 
 
