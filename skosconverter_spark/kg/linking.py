@@ -190,12 +190,44 @@ def mention_context_scores(
     )
 
 
+def vocab_score_tables(label_tbl: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(jac_lookup, labels_arr): the two vocabulary-only lookup tables
+    score_candidates broadcasts. Exposed so a pipeline can materialize
+    them CONCURRENTLY with the mention scan (they depend only on the
+    label table): built lazily inside the scoring query, their
+    aggregation rounds sit on the links stage's critical path instead of
+    overlapping work that has to happen anyway."""
+    lt = label_tbl.select(
+        F.col("uri").alias("concept_uri"), "norm_surface"
+    ).distinct()
+    m_tok = F.split(F.col("norm_surface"), " ")
+    c_tok = F.split(F.col("cand_norm"), " ")
+    jac = (
+        F.size(F.array_intersect(m_tok, c_tok)).cast("double")
+        / F.size(F.array_union(m_tok, c_tok)).cast("double")
+    )
+    jac_lookup = (
+        lt.join(
+            lt.select("concept_uri", F.col("norm_surface").alias("cand_norm")),
+            "concept_uri",
+        )
+        .withColumn("sj", jac)
+        .groupBy("concept_uri", "norm_surface")
+        .agg(F.max("sj").alias("surface_jaccard"))
+    )
+    labels_arr = lt.groupBy("concept_uri").agg(
+        F.collect_list(F.split("norm_surface", " ")).alias("label_toks")
+    )
+    return jac_lookup, labels_arr
+
+
 def score_candidates(
     candidates: DataFrame,
     mentions: DataFrame,
     triples: DataFrame,
     threshold: float = 0.25,
     label_tbl: DataFrame | None = None,
+    score_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """candidates (url, surface, norm_surface, begin, end, concept_uri,
     kind) → scored links above threshold.
@@ -219,24 +251,6 @@ def score_candidates(
     from skosconverter_spark.kg.mentions import label_table
 
     lt_src = label_tbl if label_tbl is not None else label_table(triples)
-    lt = lt_src.select(
-        F.col("uri").alias("concept_uri"), "norm_surface"
-    ).distinct()
-    m_tok = F.split(F.col("norm_surface"), " ")
-    c_tok = F.split(F.col("cand_norm"), " ")
-    jac = (
-        F.size(F.array_intersect(m_tok, c_tok)).cast("double")
-        / F.size(F.array_union(m_tok, c_tok)).cast("double")
-    )
-    jac_lookup = (
-        lt.join(
-            lt.select("concept_uri", F.col("norm_surface").alias("cand_norm")),
-            "concept_uri",
-        )
-        .withColumn("sj", jac)
-        .groupBy("concept_uri", "norm_surface")
-        .agg(F.max("sj").alias("surface_jaccard"))
-    )
     # LEFT join + coalesce fallback, not inner: under exact generation the
     # lookup always hits (precondition above), but a looser candidate
     # generator must degrade to DISCOUNTING unmatched surfaces, never
@@ -249,8 +263,8 @@ def score_candidates(
     # only a broadcast hash probe. The transform lambda captures only the
     # mention's own token split (short string, cheap per label) — not an
     # expensive array expression (the HOF re-evaluation pitfall).
-    labels_arr = lt.groupBy("concept_uri").agg(
-        F.collect_list(F.split("norm_surface", " ")).alias("label_toks")
+    jac_lookup, labels_arr = (
+        score_tables if score_tables is not None else vocab_score_tables(lt_src)
     )
     f_tok = F.split(F.col("norm_surface"), " ")
     fallback_jac = F.array_max(

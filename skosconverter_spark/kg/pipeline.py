@@ -255,7 +255,7 @@ def run_pipeline(
 
     graph_base = Path(root) / "60_graph"
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_mentions = pool.submit(
             runner.run_stage,
             "20_mentions",
@@ -279,6 +279,22 @@ def run_pipeline(
             ),
             persist_intermediate,
         )
+
+        # the scorer's vocabulary-only lookup tables depend on nothing
+        # but the label table: materialize them concurrently with the
+        # mention scan so their aggregation/broadcast rounds overlap
+        # work that must happen anyway instead of sitting on the links
+        # stage's critical path
+        from skosconverter_spark.kg.linking import vocab_score_tables
+
+        def _prebuild_score_tables():
+            jl, la = vocab_score_tables(lt)
+            return (
+                jl.localCheckpoint(eager=True),
+                la.localCheckpoint(eager=True),
+            )
+
+        f_score_tables = pool.submit(_prebuild_score_tables)
 
         # downstream chains as dependency-submitted futures rather than a
         # second barrier pool: 30_links starts the moment 20_mentions is
@@ -310,6 +326,7 @@ def run_pipeline(
                         vocab_triples,
                         threshold=link_threshold,
                         label_tbl=lt,
+                        score_tables=f_score_tables.result(),
                     )
                 ),
             )
